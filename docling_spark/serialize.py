@@ -1,0 +1,363 @@
+"""Markdown / indented-text serializers for the SpanDoc span model.
+
+The reference's serializers live in its ``docling-core`` dependency; the exact
+output contract here is re-derived from the frozen golden files
+(/root/reference/tests/data/groundtruth/docling_v2/*.md, *.itxt) exercised by
+/root/reference/tests/test_backend_html.py:225-249.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable, Optional
+
+from .model import BODY, Item, SpanDoc
+
+DEFAULT_LAYERS = frozenset({BODY})
+
+
+# --------------------------------------------------------------------------- md
+def _escape_text(text: str) -> str:
+    # inline-text escapes observed in the goldens: & → &amp;, _ → \_
+    # (table cells are NOT escaped — e.g. "Header 2 & 3" in example_04)
+    return text.replace("&", "&amp;").replace("_", r"\_")
+
+
+def _inline(item: Item) -> str:
+    """Inline form of a text item: formatting wrappers + hyperlink."""
+    if item.label == "code":
+        return _code_inline(item)
+    txt = _escape_text(item.text)
+    f = item.formatting
+    if f is not None:
+        if f.bold and f.italic:
+            txt = f"***{txt}***"
+        elif f.bold:
+            txt = f"**{txt}**"
+        elif f.italic:
+            txt = f"*{txt}*"
+        if f.strikethrough:
+            txt = f"~~{txt}~~"
+    if item.hyperlink:
+        txt = f"[{txt}]({item.hyperlink})"
+    return txt
+
+
+def _code_inline(item: Item) -> str:
+    if "\n" in item.text:
+        return f"```\n{item.text}\n```"
+    txt = f"`{item.text}`"
+    if item.hyperlink:
+        txt = f"[{txt}]({item.hyperlink})"
+    return txt
+
+
+class _MdWriter:
+    def __init__(self, doc: SpanDoc, layers: frozenset):
+        self.doc = doc
+        self.layers = layers
+        self.blocks: list[str] = []
+
+    def _visible(self, item: Item) -> bool:
+        return item.content_layer in self.layers
+
+    def run(self) -> str:
+        for cidx in self.doc.items[0].children:
+            self._block(self.doc.items[cidx])
+        return "\n\n".join(self.blocks).strip()
+
+    # -- block-level dispatch -------------------------------------------------
+    def _block(self, item: Item) -> None:
+        doc = self.doc
+        if item.kind == "group":
+            if item.label == "list":
+                lines: list[str] = []
+                self._list_lines(item, 0, lines)
+                if lines:
+                    self.blocks.append("\n".join(lines))
+            elif item.label == "inline":
+                if self._visible(item):
+                    parts = [
+                        _inline(doc.items[c])
+                        for c in item.children
+                        if doc.items[c].kind == "text"
+                        and self._visible(doc.items[c])
+                    ]
+                    text = " ".join(p for p in parts if p)
+                    if text:
+                        self.blocks.append(text)
+            else:  # section / unspecified: transparent
+                for c in item.children:
+                    self._block(doc.items[c])
+            return
+
+        if not self._visible(item):
+            return
+
+        if item.kind == "text":
+            if item.label == "caption":
+                return  # rendered via the owning picture/table
+            if item.label == "title":
+                self.blocks.append(f"# {_inline(item)}")
+            elif item.label == "section_header":
+                self.blocks.append(f"{'#' * (item.level + 1)} {_inline(item)}")
+            else:
+                txt = _inline(item)
+                if txt:
+                    self.blocks.append(txt)
+            for c in item.children:
+                self._block(doc.items[c])
+        elif item.kind == "picture":
+            for cap in item.captions:
+                cap_it = self.doc.items[cap]
+                if cap_it.text:
+                    self.blocks.append(_escape_text(cap_it.text))
+            self.blocks.append("<!-- image -->")
+        elif item.kind == "table":
+            for cap in item.captions:
+                cap_it = self.doc.items[cap]
+                if cap_it.text:
+                    self.blocks.append(_escape_text(cap_it.text))
+            grid_md = self._table_md(item)
+            if grid_md:
+                self.blocks.append(grid_md)
+
+    # -- lists ------------------------------------------------------------------
+    def _list_lines(self, group: Item, depth: int, lines: list[str]) -> None:
+        doc = self.doc
+        pos = 0
+        for cidx in group.children:
+            child = doc.items[cidx]
+            if child.kind == "group" and child.label == "list":
+                self._list_lines(child, depth + 1, lines)
+                continue
+            if child.kind == "picture" and self._visible(child):
+                # images inside <li> attach to the list group; they render as
+                # unindented placeholder lines (wiki_duck golden)
+                for cap in child.captions:
+                    cap_it = doc.items[cap]
+                    if cap_it.text:
+                        lines.append(_escape_text(cap_it.text))
+                lines.append("<!-- image -->")
+                continue
+            if child.label != "list_item" or not self._visible(child):
+                continue
+            pos += 1
+            if child.enumerated:
+                marker = child.marker if child.marker else f"{pos}."
+            else:
+                marker = "-"
+            parts: list[str] = []
+            if child.text:
+                parts.append(_inline(child))
+            sublists: list[Item] = []
+            for gidx in child.children:
+                sub = doc.items[gidx]
+                if sub.kind == "group" and sub.label == "inline":
+                    for t in sub.children:
+                        ti = doc.items[t]
+                        if ti.kind == "text" and self._visible(ti):
+                            s = _inline(ti)
+                            if s:
+                                parts.append(s)
+                elif sub.kind == "group" and sub.label == "list":
+                    sublists.append(sub)
+                elif sub.kind == "text" and self._visible(sub):
+                    s = _inline(sub)
+                    if s:
+                        parts.append(s)
+            lines.append(f"{' ' * 4 * depth}{marker} {' '.join(parts)}".rstrip())
+            for sub in sublists:
+                self._list_lines(sub, depth + 1, lines)
+
+    # -- tables -------------------------------------------------------------------
+    def _cell_content(self, item: Item, cell) -> str:
+        if cell.rich_ref >= 0:
+            grp = self.doc.items[cell.rich_ref]
+            sub = _MdWriter(self.doc, self.layers)
+            for c in grp.children:
+                sub._block(self.doc.items[c])
+            rendered = "\n\n".join(sub.blocks).strip()
+            return rendered.replace("\n", " ")
+        return cell.text
+
+    def _table_md(self, item: Item) -> str:
+        rows, cols = item.num_rows, item.num_cols
+        if rows == 0 or cols == 0:
+            return ""
+        grid = [["" for _ in range(cols)] for _ in range(rows)]
+        for cell in item.cells:
+            content = self._cell_content(item, cell)
+            if cell.rich_ref >= 0:
+                # rich content renders at its anchor position only
+                if 0 <= cell.start_row < rows and 0 <= cell.start_col < cols:
+                    grid[cell.start_row][cell.start_col] = content
+                continue
+            for r in range(cell.start_row, min(cell.end_row, rows)):
+                for c in range(cell.start_col, min(cell.end_col, cols)):
+                    grid[r][c] = content
+        return _github_table(grid)
+
+
+def to_markdown(doc: SpanDoc, layers: Iterable[str] = DEFAULT_LAYERS) -> str:
+    return _MdWriter(doc, frozenset(layers)).run()
+
+
+# ----------------------------------------------------- github-style md tables
+# Pipe-grid rendering compatible with the widely-used tabulate "github"
+# format that the goldens were produced with: header min-padding of 2,
+# numeric columns right-aligned, floats decimal-aligned and reformatted
+# with the "%g" style.
+def _is_number(s: str) -> bool:
+    if not s:
+        return False
+    try:
+        f = float(s)
+    except (TypeError, ValueError):
+        return False
+    import math
+
+    if math.isinf(f) or math.isnan(f):
+        return s.lower().strip() in {"inf", "-inf", "+inf", "nan", "-nan", "+nan"}
+    return True
+
+
+def _is_int(s: str) -> bool:
+    try:
+        int(s)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def _github_table(grid: list[list[str]]) -> str:
+    if not grid:
+        return ""
+    headers = grid[0]
+    data = grid[1:]
+    ncols = len(headers)
+
+    # column type: int if all data cells int, float if all numeric, else text
+    col_type: list[str] = []
+    for c in range(ncols):
+        vals = [row[c] for row in data]
+        if vals and all(_is_int(v) for v in vals):
+            col_type.append("int")
+        elif vals and all(_is_number(v) for v in vals):
+            col_type.append("float")
+        else:
+            col_type.append("text")
+
+    # format numeric values ("%g" float style, canonical int rendering)
+    def fmt(val: str, typ: str) -> str:
+        if typ == "int":
+            return str(int(val))
+        if typ == "float":
+            return format(float(val), "g")
+        return val
+
+    body = [[fmt(row[c], col_type[c]) for c in range(ncols)] for row in data]
+
+    # decimal alignment pre-pass: pad float cells so decimal points align
+    for c in range(ncols):
+        if col_type[c] != "float":
+            continue
+        def after_dot(s: str) -> int:
+            return len(s) - s.index(".") - 1 if "." in s else -1
+        most = max((after_dot(body[r][c]) for r in range(len(body))), default=-1)
+        for r in range(len(body)):
+            cur = after_dot(body[r][c])
+            pad = (most - cur) if cur >= 0 else (most + 1 if most >= 0 else 0)
+            body[r][c] = body[r][c] + " " * pad
+
+    widths = []
+    for c in range(ncols):
+        w = len(headers[c]) + 2  # MIN_PADDING on headers
+        for r in range(len(body)):
+            w = max(w, len(body[r][c]))
+        widths.append(w)
+
+    def align(s: str, c: int) -> str:
+        if col_type[c] in ("int", "float"):
+            return s.rjust(widths[c])
+        return s.ljust(widths[c])
+
+    lines = [
+        "| " + " | ".join(align(headers[c], c) for c in range(ncols)) + " |",
+        "|" + "|".join("-" * (w + 2) for w in widths) + "|",
+    ]
+    for row in body:
+        lines.append("| " + " | ".join(align(row[c], c) for c in range(ncols)) + " |")
+    return "\n".join(lines)
+
+
+# ------------------------------------------------------------------------- itxt
+def _trunc(text: str, max_len: Optional[int]) -> str:
+    if max_len is not None and len(text) > max_len + 3:
+        head = max_len // 2 - 3
+        tail = max_len // 2 + 3
+        return text[:head] + " ... " + text[-tail:]
+    return text
+
+
+def to_itxt(
+    doc: SpanDoc,
+    max_text_len: int = 70,
+    layers: Iterable[str] = DEFAULT_LAYERS,
+) -> str:
+    layers = frozenset(layers)
+    lines: list[str] = []
+    counter = -1
+
+    def visit(idx: int, level: int) -> None:
+        nonlocal counter
+        item = doc.items[idx]
+        visible = item.content_layer in layers or idx == 0
+        if visible:
+            counter += 1
+            n = counter
+            indent = "  " * level
+            if item.kind == "group":
+                lines.append(
+                    f"{indent}item-{n} at level {level}: {item.label}: group {item.name}"
+                )
+            elif item.kind == "picture":
+                lines.append(f"{indent}item-{n} at level {level}: picture")
+                for cap in item.captions:
+                    cap_it = doc.items[cap]
+                    lines.append(
+                        f"{indent}  item-{n} at level {level + 1}: caption: "
+                        f"{_trunc(cap_it.text, max_text_len)}"
+                    )
+            elif item.kind == "table":
+                lines.append(
+                    f"{indent}item-{n} at level {level}: table with "
+                    f"[{item.num_rows}x{item.num_cols}]"
+                )
+                for cap in item.captions:
+                    cap_it = doc.items[cap]
+                    lines.append(
+                        f"{indent}  item-{n} at level {level + 1}: caption: "
+                        f"{_trunc(cap_it.text, max_text_len)}"
+                    )
+            else:
+                lines.append(
+                    f"{indent}item-{n} at level {level}: {item.label}: "
+                    f"{_trunc(item.text, max_text_len)}"
+                )
+            next_level = level + 1
+        else:
+            next_level = level  # invisible nodes are skipped entirely below
+        if visible:
+            for c in item.children:
+                visit(c, next_level)
+
+    visit(0, 0)
+    return "\n".join(lines)
+
+
+# ----------------------------------------------------------------- plain text
+def to_text(doc: SpanDoc, layers: Iterable[str] = DEFAULT_LAYERS) -> str:
+    """Plain extracted text: markdown minus markup — the `extracted_text`
+    output column's contract is markdown (goldens are .md files)."""
+    return to_markdown(doc, layers)
