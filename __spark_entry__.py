@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``    — flagship: full HTML-extraction pipeline over a synthesized
+               Common-Crawl-shaped pages table (sf0.001).
+``queries``  — one entry per implemented operator (SURVEY.md §2 + the
+               training-data ops suite); each (spark, sf_dir) → DataFrame.
+``oracle_sql`` — DuckDB-runnable ANSI equivalents (value-level oracles),
+               including a full value oracle for the extraction UDF path via
+               the deterministic synth template (ops/corpus.py).
 """
 
 from __future__ import annotations
@@ -12,27 +14,480 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from docling_spark.job import extract_pages, with_content_type
+from docling_spark.ops import ann, dedup, textstats
+from docling_spark.ops.corpus import SYNTH_MD_SQL, synth_pages
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _with_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies of doc_id<50 (deterministic dup injection)."""
+    copies = docs.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(copies)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synth pages → content dispatch → vectorized extraction."""
+    pages = synth_pages(spark, SF_DEFAULT)
+    out = extract_pages(pages, base_uri_mode="none")
+    return out.select("url", "status", "content_type", "doc_hash", "n_chars")
+
+
+# --------------------------------------------------------------------- queries
+def q_extract_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    return out.select("url", "status", "extracted_text", "n_chars", "doc_hash")
+
+
+def q_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synth_pages(spark, sf_dir)
+    return with_content_type(pages).select("url", "content_type")
+
+
+def q_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("doc_hash")
+    )
+
+
+def q_size_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input validation: oversize routing (reference max_file_size analog)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") > 300, "oversize").otherwise("ok").alias("size_class"),
+    )
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", F.col("event_id").alias("latest_event_id"))
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_with_dups(_docs(spark, sf_dir)))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100)
+    return dedup.minhash_signatures(docs, k=8, seeds=[1, 2, 3, 4])
+
+
+def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    return dedup.lsh_candidate_pairs(docs, k=8, seeds=[1, 2, 3, 4], band_size=2)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 40))
+    return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 50), bits=16)
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
+
+
+def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    sim = ann._dot(F.col("emb_a"), F.col("emb_b")) / (
+        ann._norm(F.col("emb_a")) * ann._norm(F.col("emb_b"))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(sim, 4))
+        .filter(F.col("cosine") >= 0.8)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH-bucketed scale path (candidates only — no SQL oracle by design)
+    return ann.bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+    )
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (skew pattern); result == plain agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    salted = li.withColumn("salt", F.pmod(F.col("l_linenumber"), F.lit(4)))
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_quantity").alias("pq"), F.count("*").alias("pn")
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("pq"), 2).alias("sum_qty"), F.sum("pn").alias("n")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_pipeline": q_extract_pipeline,
+        "format_dispatch": q_format_dispatch,
+        "doc_hash": q_doc_hash,
+        "size_limits": q_size_limits,
+        "dedup_latest": q_dedup_latest,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_dup_pairs": q_lsh_dup_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "cosine_topk": q_cosine_topk,
+        "embedding_dups_exact": q_embedding_dups_exact,
+        "embedding_dups_lsh": q_embedding_dups_lsh,
+        "events_hourly": q_events_hourly,
+        "metrics_rollup": q_metrics_rollup,
+        "resume_antijoin": q_resume_antijoin,
+        "broadcast_enrich": q_broadcast_enrich,
+        "tpch_q1": q_tpch_q1,
+        "salted_agg": q_salted_agg,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ------------------------------------------------------------------ oracles
+_DUPS_CTE = (
+    "WITH docs2 AS (SELECT * FROM documents UNION ALL "
+    "SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars "
+    "FROM documents WHERE doc_id < 50)"
+)
+
+_SHINGLE_SIG = """
+SELECT d.doc_id, s.seed,
+       min(md5(substring(d.text, g.i, 8) || ':' || s.seed)) AS minhash
+FROM {src} d
+CROSS JOIN (SELECT unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i, doc_id AS did
+            FROM {src}) g
+JOIN (SELECT unnest([{seeds}]) AS seed) s ON TRUE
+WHERE g.did = d.doc_id
+GROUP BY d.doc_id, s.seed
+"""
+
+
+def _minhash_sql(src: str, seeds: str) -> str:
+    # distinct shingles per doc, then min(md5(sh||':'||seed)) per seed
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+  FROM {src} d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+)
+SELECT sh.doc_id, s.seed, min(md5(sh.sh || ':' || s.seed)) AS minhash
+FROM sh CROSS JOIN (SELECT unnest([{seeds}]) AS seed) s
+GROUP BY sh.doc_id, s.seed
+"""
+
+
+_SIMHASH_SQL = """
+WITH words AS (
+  SELECT DISTINCT d.doc_id, w.w
+  FROM (SELECT * FROM documents WHERE doc_id < 50) d,
+       LATERAL (SELECT unnest(string_split(d.text, ' ')) AS w) w
+), h AS (SELECT doc_id, md5(w) AS h FROM words)
+SELECT doc_id, {bits} AS simhash FROM h GROUP BY doc_id
+"""
+
+
+def _simhash_bits_sql(bits: int = 16) -> str:
+    parts = []
+    for b in range(bits):
+        nib = f"strpos('0123456789abcdef', substring(h, {1 + b // 4}, 1)) - 1"
+        bit = f"(CAST(floor(({nib}) / {2 ** (3 - b % 4)}) AS INTEGER) % 2)"
+        parts.append(
+            f"CASE WHEN sum(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN '1' ELSE '0' END"
+        )
+    return _SIMHASH_SQL.format(bits=" || ".join(parts))
+
+
+_STOP_HITS = " + ".join(
+    "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', '')))"
+    " / {n} AS BIGINT)".format(w=w, n=len(w) + 2)
+    for w in textstats.STOPWORDS
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    synth_url = "'https://synth.test/doc/' || doc_id || '.html'"
+    synth_html = (
+        "'<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) || "
+        "'<h1>Document ' || doc_id || '</h1>' || chr(10) || "
+        "'<p>' || text || '</p>' || chr(10) || "
+        "'<ul><li>' || split_part(text, ' ', 1) || '</li><li>' || "
+        "split_part(text, ' ', 2) || '</li><li>' || split_part(text, ' ', 3) || "
+        "'</li></ul>' || chr(10) || "
+        "'<table><tr><th>K</th><th>V</th></tr><tr><td>k' || "
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '</td><td>v' || "
+        "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '</td></tr></table>' || "
+        "chr(10) || '</body></html>'"
+    )
+    return {
+        "extract_pipeline": f"""
+            SELECT {synth_url} AS url,
+                   'success' AS status,
+                   {SYNTH_MD_SQL} AS extracted_text,
+                   length({SYNTH_MD_SQL}) AS n_chars,
+                   sha256({synth_html}) AS doc_hash
+            FROM documents
+        """,
+        "format_dispatch": f"""
+            SELECT {synth_url} AS url, 'html' AS content_type FROM documents
+        """,
+        "doc_hash": "SELECT doc_id, sha256(text) AS doc_hash FROM documents",
+        "size_limits": """
+            SELECT doc_id,
+                   CASE WHEN n_chars > 300 THEN 'oversize' ELSE 'ok' END AS size_class
+            FROM documents
+        """,
+        "dedup_latest": """
+            SELECT user_id, latest_event_id FROM (
+              SELECT user_id, event_id AS latest_event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "dedup_exact": f"""
+            {_DUPS_CTE}
+            SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
+        """,
+        "minhash_signatures": _minhash_sql(
+            "(SELECT * FROM documents WHERE doc_id < 100)", "1, 2, 3, 4"
+        ),
+        "lsh_dup_pairs": f"""
+            {_DUPS_CTE},
+            base AS (SELECT * FROM docs2 WHERE doc_id < 100 OR doc_id >= 100000),
+            sh AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM base d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sig AS (
+              SELECT sh.doc_id, s.seed, min(md5(sh.sh || ':' || s.seed)) AS minhash
+              FROM sh CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS seed) s
+              GROUP BY sh.doc_id, s.seed
+            ),
+            banded AS (
+              SELECT doc_id, (seed - 1) // 2 AS band_id,
+                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+              FROM sig GROUP BY doc_id, (seed - 1) // 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        """,
+        "ngram_jaccard": f"""
+            {_DUPS_CTE},
+            base AS (SELECT * FROM docs2 WHERE doc_id < 40 OR doc_id >= 100000),
+            sh AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM base d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        "simhash": _simhash_bits_sql(16),
+        "token_count": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id, n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS distinct_ratio,
+                   round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS avg_word_len
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   {_STOP_HITS} AS stop_hits,
+                   round(CAST({_STOP_HITS} AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS stop_ratio,
+                   CASE WHEN round(CAST({_STOP_HITS} AS DOUBLE)
+                        / len(string_split(text, ' ')), 4) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS lang_pred
+            FROM documents
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
+                   md5(substring(text, 1, 64)) AS fp_prefix64
+            FROM documents
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(embedding, qv) /
+                         (sqrt(list_dot_product(embedding, embedding)) *
+                          sqrt(list_dot_product(qv, qv))), 4) AS cosine
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id LIMIT 5
+        """,
+        "embedding_dups_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.embedding, b.embedding) /
+                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                          sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 200 AND b.vec_id < 200
+              AND round(list_dot_product(a.embedding, b.embedding) /
+                        (sqrt(list_dot_product(a.embedding, a.embedding)) *
+                         sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.8
+        """,
+        "events_hourly": """
+            SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr, event_type,
+                   count(*) AS n, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "metrics_rollup": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(avg(o_totalprice), 2) AS avg_price,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS median_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "resume_antijoin": """
+            SELECT c_custkey FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "broadcast_enrich": """
+            SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "salted_agg": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # embedding_dups_lsh: bucketed candidate generation — rows-only check
+    }

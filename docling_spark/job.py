@@ -1,0 +1,332 @@
+"""The Spark extraction job: Common-Crawl pages → extracted structured text.
+
+Spark trace (SURVEY.md §3.1): scan → content-type dispatch column →
+latest-crawl dedup window → resume anti-join vs committed lineage →
+salted repartition → mapInPandas(html_extract) ∪ mapInPandas(pdf_extract)
+→ chunked atomic writes + per-chunk lineage/metrics rows.
+
+Scale design notes
+------------------
+- All per-document work happens in **vectorized Arrow-batched UDFs**
+  (``mapInPandas``), never per-row Python ``udf()`` (input_hint contract).
+- **Dispatch** is a cheap JVM-side expression (magic bytes / regex on an
+  8 KB prefix), so Catalyst prunes each branch's scan to its rows.
+- **Skew**: rows are hash-repartitioned on ``xxhash64(url, salt)``;
+  Arrow batches are kept small (``spark.sql.execution.arrow.maxRecordsPerBatch``)
+  because rows carry multi-MB blobs.
+- **Resume / exactly-once**: the input is deterministically split into
+  ``num_chunks`` hash buckets; each chunk is one atomic parquet write
+  (all-or-nothing via the Spark commit protocol) followed by a lineage
+  append. A killed run reruns only chunks without lineage rows — no
+  half-written chunk is ever visible. This is the Iceberg-snapshot
+  pattern expressed with plain parquet (no Iceberg runtime in this
+  sandbox); on a real cluster each chunk write maps to one Iceberg
+  append snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from typing import Iterable, Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import EXTRACTED_SCHEMA, LINEAGE_SCHEMA
+
+# HTML sniff pattern re-derived from the reference's _detect_html_xhtml
+# (/root/reference/docling/datamodel/document.py:620-657): optional leading
+# comments/script, then doctype/html/head/body markers.
+_HTML_SNIFF_RE = (
+    r"(?is)^\s*(<!--.*?-->\s*)*(<script.*?>.*?</script>\s*)?"
+    r"(<!doctype\s+html|<html|<head|<body)"
+)
+
+
+def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
+    """Add the dispatch column. Pure JVM expressions — no Python.
+
+    Order mirrors the reference _guess_format (document.py:488-554):
+    content magic (mime) first, then url extension, then content sniffing.
+    """
+    head = F.decode(F.substring(F.col("html"), 1, prefix_bytes), "UTF-8")
+    ext = F.lower(
+        F.regexp_extract(F.col("url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1)
+    )
+    return df.withColumn(
+        "content_type",
+        F.when(F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"), "pdf")
+        .when(ext.isin("html", "htm", "xhtml"), "html")
+        .when(ext == "pdf", "pdf")
+        .when(head.rlike(_HTML_SNIFF_RE), "html")
+        .otherwise("other"),
+    )
+
+
+def dedup_latest_crawl(df: DataFrame) -> DataFrame:
+    """Latest snapshot per url (row_number over warc_ts desc)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("warc_ts").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ------------------------------------------------------------------ UDF core
+def _doc_to_spans(doc) -> list[dict]:
+    spans = []
+    for it in doc.items:
+        f = it.formatting
+        spans.append(
+            {
+                "idx": it.idx,
+                "parent": it.parent,
+                "kind": it.kind,
+                "label": it.label,
+                "name": it.name or None,
+                "text": it.text or None,
+                "level": it.level,
+                "marker": it.marker or None,
+                "enumerated": it.enumerated,
+                "bold": f.bold if f else None,
+                "italic": f.italic if f else None,
+                "underline": f.underline if f else None,
+                "strikethrough": f.strikethrough if f else None,
+                "script": f.script if f else None,
+                "hyperlink": it.hyperlink,
+                "content_layer": it.content_layer,
+                "num_rows": it.num_rows if it.kind == "table" else None,
+                "num_cols": it.num_cols if it.kind == "table" else None,
+            }
+        )
+    return spans
+
+
+def _extract_one(url: str, blob: Optional[bytes], content_type: str,
+                 base_uri_mode: str, doc_timeout_s: float) -> dict:
+    """One document through its backend; never raises (SURVEY §2.5:
+    one bad doc must not kill a task)."""
+    t0 = time.perf_counter()
+    out = {
+        "status": "failure",
+        "error": None,
+        "extracted_text": None,
+        "itxt": None,
+        "spans": None,
+        "n_items": None,
+        "n_chars": None,
+    }
+    try:
+        if blob is None or len(blob) == 0:
+            out["status"] = "skipped"
+            out["error"] = "empty document"
+        elif content_type == "html":
+            # local import keeps the Spark driver import light; module-level
+            # caches inside the worker make this once-per-executor
+            from .htmlx.extract import HtmlExtractor
+            from .serialize import to_itxt, to_markdown
+
+            base = url if base_uri_mode == "url" else "None"
+            doc = HtmlExtractor(base_uri=base).convert(bytes(blob))
+            md = to_markdown(doc)
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+            )
+        elif content_type == "pdf":
+            from .pdfx.extract import extract_pdf_text
+
+            res = extract_pdf_text(bytes(blob))
+            out.update(
+                status=res.status,
+                extracted_text=res.text,
+                error=res.error,
+                n_chars=len(res.text) if res.text else None,
+            )
+        else:
+            out["status"] = "skipped"
+            out["error"] = f"unsupported content_type"
+    except Exception as e:  # noqa: BLE001 — containment by design
+        out["status"] = "failure"
+        out["error"] = f"{type(e).__name__}: {e}"[:1000]
+    out["proc_ms"] = (time.perf_counter() - t0) * 1e3
+    return out
+
+
+def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0):
+    """Build the mapInPandas function. ``base_uri_mode``: "url" resolves
+    relative hrefs against the row's url; "none" mirrors the reference's
+    golden-generation default (source_uri=None)."""
+
+    def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_in in batches:
+            rows = []
+            for r in pdf_in.itertuples(index=False):
+                res = _extract_one(
+                    r.url, r.html, r.content_type, base_uri_mode, doc_timeout_s
+                )
+                rows.append(
+                    {
+                        "url": r.url,
+                        "warc_ts": r.warc_ts,
+                        "lang": r.lang,
+                        "doc_hash": r.doc_hash,
+                        "content_type": r.content_type,
+                        **res,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return extract_batches
+
+
+def extract_pages(
+    pages: DataFrame,
+    base_uri_mode: str = "none",
+    max_bytes: int = 64 * 1024 * 1024,
+    shuffle_partitions: Optional[int] = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Logical plan for one extraction pass (no side effects)."""
+    df = with_content_type(pages)
+    df = df.withColumn("doc_hash", F.sha2(F.col("html"), 256))
+    oversize = F.length(F.col("html")) > F.lit(max_bytes)
+    df = df.withColumn(
+        "content_type", F.when(oversize, F.lit("oversize")).otherwise(F.col("content_type"))
+    )
+    if shuffle_partitions:
+        df = df.repartition(
+            shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))
+        )
+    udf = make_extract_udf(base_uri_mode=base_uri_mode)
+    cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
+    return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)
+
+
+# -------------------------------------------------------------- runner w/ resume
+@dataclass
+class RunConfig:
+    run_id: str
+    output_path: str
+    num_chunks: int = 8
+    base_uri_mode: str = "none"
+    max_bytes: int = 64 * 1024 * 1024
+    shuffle_partitions: Optional[int] = None
+    dedup_latest: bool = True
+
+
+class ExtractionRunner:
+    """Chunked, resumable execution of ``extract_pages``.
+
+    Layout:
+        {output}/data/run_id={run}/chunk_id={k}/*.parquet   (atomic per chunk)
+        {output}/lineage/*.parquet                           (append-only)
+    """
+
+    def __init__(self, spark: SparkSession, cfg: RunConfig):
+        self.spark = spark
+        self.cfg = cfg
+
+    # -- lineage ------------------------------------------------------------
+    def _lineage_path(self) -> str:
+        return f"{self.cfg.output_path}/lineage"
+
+    def committed_chunks(self) -> set[int]:
+        try:
+            rows = (
+                self.spark.read.schema(LINEAGE_SCHEMA)
+                .parquet(self._lineage_path())
+                .filter(F.col("run_id") == self.cfg.run_id)
+                .select("chunk_id")
+                .collect()
+            )
+            return {r.chunk_id for r in rows}
+        except Exception:
+            return set()
+
+    def _append_lineage(self, row: dict) -> None:
+        df = self.spark.createDataFrame([row], schema=LINEAGE_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(self._lineage_path())
+
+    # -- execution ------------------------------------------------------------
+    def run(self, pages: DataFrame) -> dict:
+        cfg = self.cfg
+        if cfg.dedup_latest:
+            pages = dedup_latest_crawl(pages)
+        pages = pages.withColumn(
+            "_chunk", F.pmod(F.xxhash64("url"), F.lit(cfg.num_chunks))
+        )
+        done = self.committed_chunks()
+        stats = {"chunks_total": cfg.num_chunks, "chunks_skipped": len(done)}
+        for k in range(cfg.num_chunks):
+            if k in done:
+                continue
+            t0 = time.perf_counter()
+            chunk = pages.filter(F.col("_chunk") == k).drop("_chunk")
+            out = extract_pages(
+                chunk,
+                base_uri_mode=cfg.base_uri_mode,
+                max_bytes=cfg.max_bytes,
+                shuffle_partitions=cfg.shuffle_partitions,
+                salt=k,
+            )
+            path = f"{cfg.output_path}/data/run_id={cfg.run_id}/chunk_id={k}"
+            out.write.mode("overwrite").parquet(path)
+            # post-commit metrics from the just-written files (cheap scan of
+            # one chunk; avoids caching the UDF output twice)
+            written = self.spark.read.parquet(path)
+            agg = written.groupBy("status").agg(
+                F.count("*").alias("n"), F.sum(F.coalesce("n_chars", F.lit(0))).alias("b")
+            ).collect()
+            url_count = int(sum(r.n for r in agg))
+            wall = time.perf_counter() - t0
+            self._append_lineage(
+                {
+                    "run_id": cfg.run_id,
+                    "chunk_id": k,
+                    "num_chunks": cfg.num_chunks,
+                    "url_count": url_count,
+                    "byte_count": int(sum(r.b or 0 for r in agg)),
+                    "status_counts": {r.status: r.n for r in agg},
+                    "wall_sec": wall,
+                    "docs_per_sec": url_count / wall if wall > 0 else 0.0,
+                    "committed_at": datetime.now(timezone.utc),
+                }
+            )
+        return stats
+
+    def read_output(self) -> DataFrame:
+        return self.spark.read.parquet(
+            f"{self.cfg.output_path}/data/run_id={self.cfg.run_id}"
+        )
+
+
+def tuned_session(
+    master: str = "local[*]",
+    shuffle_partitions: int = 32,
+    arrow_batch: int = 128,
+    app: str = "docling-spark",
+) -> SparkSession:
+    """Session defaults sized for blob-heavy rows (SURVEY §4: keep Arrow
+    batches small, AQE on)."""
+    return (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .getOrCreate()
+    )

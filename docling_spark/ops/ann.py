@@ -1,0 +1,115 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- ``cosine_topk``: brute-force exact baseline — a broadcast of the query
+  vector against a single scan; the dot product stays JVM-side via
+  ``zip_with``/``aggregate`` (no Python UDF).
+- ``hyperplane_buckets`` + ``bucketed_candidates``: deterministic
+  random-hyperplane LSH — the scale path: bucket join instead of all-pairs.
+  Hyperplane signs derive from md5, so the operator is reproducible across
+  engines (oracle-able) and across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int = 0, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors of ``query_id`` (excluding itself)."""
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    joined = embeddings.filter(F.col("vec_id") != query_id).crossJoin(
+        F.broadcast(q)
+    )
+    sim = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    return (
+        joined.select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def _plane_sign(plane: int, dim: int):
+    """Deterministic ±1 weight for (plane, dim): parity of first md5 nibble."""
+    h = F.md5(F.concat_ws(":", F.lit("plane"), F.lit(plane), F.lit(dim)))
+    val = F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1
+    return F.when(val % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """LSH bucket id per vector: sign pattern against n pseudo-hyperplanes."""
+    dims = embeddings.select(F.size("embedding").alias("d")).first().d
+    bits = []
+    for p in range(n_planes):
+        proj = None
+        # signed sum of components — unrolled JVM expression, no shuffle
+        expr = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[_plane_sign(p, i) for i in range(dims)]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(expr >= 0, "1").otherwise("0"))
+    return embeddings.select(
+        "vec_id", F.concat(*bits).alias("bucket"), "embedding"
+    )
+
+
+def bucketed_candidates(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Candidate near-neighbor pairs = same LSH bucket (the O(n²) killer)."""
+    b = hyperplane_buckets(embeddings, n_planes)
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )
+
+
+def embedding_cosine_dups(
+    embeddings: DataFrame, n_planes: int = 6, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding near-dup detection: LSH candidates → exact cosine filter."""
+    cand = bucketed_candidates(embeddings, n_planes)
+    e_a = embeddings.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    e_b = embeddings.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    sim = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        cand.join(e_a, "vec_a")
+        .join(e_b, "vec_b")
+        .withColumn("cosine", F.round(sim, 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )

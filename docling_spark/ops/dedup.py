@@ -1,0 +1,145 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Scale shape (the part that matters at 100 TB):
+- exact dedup = one hash-shuffle on a 64-hex digest, not on the text;
+- MinHash = explode(shingles) → per-(doc, seed) min-agg — map-side partial
+  aggregation keeps the shuffle at |docs|×|seeds| rows, independent of text
+  length;
+- LSH banding turns all-pairs O(n²) into a self-join on band keys — the join
+  key space grows with n so AQE skew-join handles hot bands;
+- SimHash majority-vote per bit is a single groupBy(doc) after a words
+  explode.
+
+Hashes are md5-hex (lexicographic min), portable across engines for the
+DuckDB oracle — at production scale you'd swap to xxhash64 for speed; the
+operator shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SEEDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Duplicate groups by full-content digest; canonical = min doc_id."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+        .select("digest", "canonical_id", "dup_count")
+    )
+
+
+def _shingles(k: int):
+    """array of k-char shingles of ``text`` (distinct, for set semantics)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length("text") - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substr(F.col("text"), i, F.lit(k)))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 8, seeds: list[int] = DEFAULT_SEEDS
+) -> DataFrame:
+    """(doc_id, seed, minhash): lexicographic min of md5(shingle || seed)."""
+    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("sh"))
+    seeds_df = sh.select(
+        "doc_id", "sh", F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
+    )
+    return (
+        seeds_df.groupBy("doc_id", "seed")
+        .agg(F.min(F.md5(F.concat("sh", F.lit(":"), "seed"))).alias("minhash"))
+        .select("doc_id", "seed", "minhash")
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, seeds: list[int] = DEFAULT_SEEDS, band_size: int = 2
+) -> DataFrame:
+    """MinHash-LSH: band the signature, self-join on (band_id, band_key)."""
+    sig = minhash_signatures(docs, k=k, seeds=seeds)
+    banded = (
+        sig.withColumn("band_id", ((F.col("seed") - 1) / band_size).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 8, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard over shingle sets (the verifier for LSH recall).
+
+    All-pairs via shingle-inverted-index join — the standard
+    'explode and join on token' shape; at scale the LSH variant prefilters.
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens: per-bit majority vote of word hashes.
+
+    Bit b of md5(word) is taken from hex nibble b//4; vote +1/-1, sign →
+    bit. Output is a ``bits``-char bitstring (portable across engines).
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    ).withColumn("h", F.md5("w"))
+    votes = []
+    for b in range(bits):
+        nib = F.locate  # noqa: F841 (doc aid)
+        hexch = F.substring("h", 1 + b // 4, 1)
+        val = F.instr(F.lit(_HEX), hexch) - 1
+        bit = F.floor(val / F.lit(2 ** (3 - b % 4))).cast("int") % 2
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}")
+        )
+    agg = words.groupBy("doc_id").agg(*votes)
+    bitstr = F.concat(
+        *[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(bits)]
+    )
+    return agg.select("doc_id", bitstr.alias("simhash"))

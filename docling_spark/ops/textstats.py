@@ -1,0 +1,78 @@
+"""Text-analysis operators for the training-data pipeline: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All operators are pure JVM-side expressions (whole-stage codegen; no Python
+in the hot path) and have exact ANSI-SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _occurrences(text: Column, word: str) -> Column:
+    """Count of whole-word occurrences via length-delta (portable SQL)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokenization + counts."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / diversity / mean-word-length heuristics (rounded for
+    engine-portable float comparison)."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n.alias("n_tokens"),
+        F.round(nd.cast("double") / n, 4).alias("distinct_ratio"),
+        F.round((F.length("text") - n + 1).cast("double") / n, 4).alias(
+            "avg_word_len"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit-ratio language ID (n-gram-free heuristic; at crawl scale
+    the same shape extends to char-trigram frequency profiles)."""
+    hits = None
+    for w in STOPWORDS:
+        occ = _occurrences(F.col("text"), w)
+        hits = occ if hits is None else hits + occ
+    n = F.size(F.split(F.col("text"), " "))
+    ratio = F.round(hits.cast("double") / n, 4)
+    return docs.select(
+        "doc_id",
+        hits.alias("stop_hits"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("unknown").alias("lang_pred"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic content fingerprints: full-text md5 + sha256, and a
+    prefix fingerprint for fast near-equality prefiltering."""
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_md5"),
+        F.sha2(F.col("text"), 256).alias("fp_sha256"),
+        F.md5(F.substring(F.col("text"), 1, 64)).alias("fp_prefix64"),
+    )
