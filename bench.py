@@ -1,0 +1,89 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The flagship metric is extraction throughput (documents/sec) over the
+synthesized Common-Crawl-shaped pages table; per-query wall times cover the
+rest of the operator suite. Extra keys (docs_per_sec, n_docs) are
+informational.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline subset: flagship extraction + one representative per operator
+# family (dedup, text stats, ANN, relational, skew pattern).
+HEADLINE = [
+    "extract_pipeline",
+    "dedup_exact",
+    "lsh_dup_pairs",
+    "simhash",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "cosine_topk",
+    "events_hourly",
+    "tpch_q1",
+    "broadcast_enrich",
+    "salted_agg",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entry
+    from docling_spark.job import tuned_session
+
+    spark = tuned_session(master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry.queries()
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not session startup
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        if name == "extract_pipeline":
+            n_docs = n
+
+    total = round(sum(timings.values()), 4)
+    ext = timings.get("extract_pipeline", 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "docs_per_sec": round(n_docs / ext, 2) if ext else None,
+                "n_docs": n_docs,
+                "cpus": int(CPUS),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
