@@ -77,6 +77,28 @@ def q_size_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout path: synth digital-born PDFs → parse → cells → reading
+    order → text (value-level oracle via the deterministic template)."""
+    from docling_spark.ops.corpus import synth_pages_pdf
+
+    pages = synth_pages_pdf(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    return out.select("url", "status", "extracted_text", "n_chars")
+
+
+def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML ∪ PDF corpus → content sniffing → per-branch counts."""
+    from docling_spark.ops.corpus import synth_pages_pdf
+
+    pages = synth_pages(spark, sf_dir).unionByName(synth_pages_pdf(spark, sf_dir))
+    return (
+        with_content_type(pages)
+        .groupBy("content_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -227,6 +249,8 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pipeline": q_extract_pipeline,
+        "pdf_extract": q_pdf_extract,
+        "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
         "size_limits": q_size_limits,
@@ -335,6 +359,18 @@ def oracle_sql() -> dict[str, str]:
                    length({SYNTH_MD_SQL}) AS n_chars,
                    sha256({synth_html}) AS doc_hash
             FROM documents
+        """,
+        "pdf_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,
+                   'success' AS status,
+                   'Document ' || doc_id || chr(10) || chr(10) || text AS extracted_text,
+                   length('Document ' || doc_id || chr(10) || chr(10) || text) AS n_chars
+            FROM documents
+        """,
+        "mixed_dispatch": """
+            SELECT 'html' AS content_type, count(*) AS n FROM documents
+            UNION ALL
+            SELECT 'pdf' AS content_type, count(*) AS n FROM documents
         """,
         "format_dispatch": f"""
             SELECT {synth_url} AS url, 'html' AS content_type FROM documents

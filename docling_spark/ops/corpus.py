@@ -63,6 +63,97 @@ def synth_pages(
     )
 
 
+# ----------------------------------------------------------- synthetic PDFs
+def synth_pdf_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic one-page digital-born PDF whose extracted text is exactly
+    ``Document {doc_id}\\n\\n{text}`` under the pdfx layout path (title block,
+    then one paragraph of wrapped lines). Classic xref, Helvetica, ASCII."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    lines: list[str] = []
+    cur: list[str] = []
+    for w in text.split(" "):
+        if cur and len(" ".join(cur + [w])) > 60:
+            lines.append(" ".join(cur))
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
+        lines.append(" ".join(cur))
+
+    ops = [f"BT /F1 18 Tf 72 720 Td ({esc(f'Document {doc_id}')}) Tj ET"]
+    y = 680
+    for ln in lines:
+        ops.append(f"BT /F1 11 Tf 72 {y} Td ({esc(ln)}) Tj ET")
+        y -= 13
+    content = "\n".join(ops).encode("ascii")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages table of deterministic PDF blobs.
+
+    Blob assembly is bytes-in-Python, so it runs as a vectorized Arrow batch
+    (mapInPandas) — never per-row ``udf()``."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/doc/{i}.pdf" for i in b["doc_id"]
+                    ],
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.to_timedelta(b["doc_id"], unit="s"),
+                    "html": [
+                        synth_pdf_bytes(int(i), t)
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+# Expected extracted text of a synth PDF, as ANSI SQL (DuckDB oracle).
+SYNTH_PDF_TEXT_SQL = "'Document ' || doc_id || chr(10) || chr(10) || text"
+
+
 # The SQL (DuckDB-dialect-compatible ANSI) reconstruction of the expected
 # markdown for the synth template above — the oracle for the full UDF path.
 SYNTH_MD_SQL = (

@@ -1,0 +1,157 @@
+"""PDF layout-path tests, mirroring the reference's backend-level strategy
+(/root/reference/tests/test_backend_docling_parse_v4.py: determinism of cell
+counts across repeated loads; /root/reference/tests/test_invalid_input.py:
+hostile bytes never raise) plus exact round-trips through our own
+deterministic synthetic PDFs."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from docling_spark.ops.corpus import synth_pdf_bytes
+from docling_spark.pdfx.extract import extract_pdf_text
+from docling_spark.pdfx.layout import Cell, sanitize_text, xycut_order
+from docling_spark.pdfx.parser import PdfDocument
+
+PDF_DIR = Path("/root/reference/tests/data/pdf")
+FIXTURES = sorted(PDF_DIR.glob("*.pdf"))
+
+
+# ------------------------------------------------------------ real corpus
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
+def test_reference_pdf_parses(path: Path):
+    r = extract_pdf_text(path.read_bytes())
+    assert r.status in ("success", "partial_success")
+    assert r.text and len(r.text) > 200
+    assert r.pages and all(isinstance(n, int) for n in r.pages)
+
+
+@pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
+def test_reference_pdf_deterministic(path: Path):
+    blob = path.read_bytes()
+    r1 = extract_pdf_text(blob)
+    r2 = extract_pdf_text(blob)
+    assert r1.text == r2.text
+    assert r1.pages == r2.pages
+
+
+KNOWN_SUBSTRINGS = {
+    "2305.03393v1-pg9": "Optimized Table Tokenization for Table Structure Recognition",
+    "multi_page": "The Evolution of the Word Processor",
+    "code_and_formula": "JavaScript Code Example",
+    "picture_classification": "Figures Example",
+    "redp5110_sampled": "Row and Column Access Control Support",
+}
+
+
+@pytest.mark.parametrize("stem", sorted(KNOWN_SUBSTRINGS), ids=str)
+def test_reference_pdf_known_text(stem: str):
+    r = extract_pdf_text((PDF_DIR / f"{stem}.pdf").read_bytes())
+    assert KNOWN_SUBSTRINGS[stem] in (r.text or "")
+
+
+def test_multipage_page_count():
+    r = extract_pdf_text((PDF_DIR / "multi_page.pdf").read_bytes())
+    assert len(r.pages) == 5
+
+
+def test_xref_stream_and_objstm():
+    # PDF 1.6 with xref streams + object streams (amt_handbook_sample)
+    doc = PdfDocument((PDF_DIR / "amt_handbook_sample.pdf").read_bytes())
+    pages = doc.pages()
+    assert len(pages) == 1
+    assert pages[0].text_cells()
+
+
+# ----------------------------------------------------------- synth corpus
+@pytest.mark.parametrize("doc_id,text", [
+    (0, "hello world"),
+    (7, "the quick brown fox jumps over the lazy dog " * 8),
+    (42, "a"),
+    (99, "word " * 100),
+])
+def test_synth_roundtrip_exact(doc_id, text):
+    text = text.strip()
+    r = extract_pdf_text(synth_pdf_bytes(doc_id, text))
+    assert r.status == "success"
+    assert r.text == f"Document {doc_id}\n\n{text}"
+
+
+def test_synth_escaping():
+    text = r"parens (nested (deep)) and \backslash survive"
+    r = extract_pdf_text(synth_pdf_bytes(1, text))
+    assert r.text == f"Document 1\n\n{text}"
+
+
+# ----------------------------------------------------------- hostile bytes
+@pytest.mark.parametrize("blob", [
+    b"",
+    b"%PDF-1.4",
+    b"%PDF-1.4\ngarbage trailer nothing",
+    b"\x00" * 1024,
+    b"<html><body>not a pdf</body></html>",
+], ids=["empty", "header-only", "garbage", "zeros", "html"])
+def test_hostile_never_raises(blob: bytes):
+    r = extract_pdf_text(blob)
+    assert r.status in ("failure", "needs_ocr")
+
+
+def test_truncated_real_pdf_contained():
+    blob = (PDF_DIR / "multi_page.pdf").read_bytes()
+    for frac in (0.1, 0.5, 0.9):
+        r = extract_pdf_text(blob[: int(len(blob) * frac)])
+        # any status is fine; the contract is containment (no exception)
+        assert r.status in ("success", "partial_success", "needs_ocr", "failure")
+
+
+# --------------------------------------------------------- sanitize parity
+# cases derived from the reference semantics
+# (/root/reference/docling/models/page_assemble_model.py:34-65)
+def test_sanitize_single_line():
+    assert sanitize_text(["one line"]) == "one line"
+
+
+def test_sanitize_hyphen_merge():
+    assert sanitize_text(["compu-", "tation rules"]) == "computation rules"
+
+
+def test_sanitize_hyphen_merge_through_punctuation():
+    # reference extracts words via \b[\w]+\b, so "(paren" still merges
+    assert sanitize_text(["ends-", "(paren)"]) == "ends(paren)"
+
+
+def test_sanitize_hyphen_kept_when_no_word_follows():
+    assert sanitize_text(["ends-", "..."]) == "ends-..."
+
+
+def test_sanitize_space_join_and_unicode():
+    assert sanitize_text(["curly “quote”", "and • bullet"]) == 'curly "quote" and · bullet'
+
+
+def test_sanitize_strip():
+    assert sanitize_text([" a", "b "]) == "a b"
+
+
+# ------------------------------------------------------------ reading order
+def test_xycut_two_columns():
+    # two columns of two cells each; expect left column fully before right
+    cells = [
+        Cell(0, "L1", 0, 0, 40, 10),
+        Cell(1, "R1", 60, 0, 100, 10),
+        Cell(2, "L2", 0, 12, 40, 22),
+        Cell(3, "R2", 60, 12, 100, 22),
+    ]
+    assert [c.text for c in xycut_order(cells)] == ["L1", "L2", "R1", "R2"]
+
+
+def test_xycut_title_spanning_columns():
+    cells = [
+        Cell(0, "Title", 0, 0, 100, 10),
+        Cell(1, "L1", 0, 30, 40, 40),
+        Cell(2, "R1", 60, 30, 100, 40),
+        Cell(3, "L2", 0, 42, 40, 52),
+    ]
+    out = [c.text for c in xycut_order(cells)]
+    assert out == ["Title", "L1", "L2", "R1"]
