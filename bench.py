@@ -49,9 +49,22 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not session startup
+    # warm the JVM + parquet footers + Python UDF workers once so per-query
+    # numbers measure the plans, not session/worker cold start (which
+    # amortizes to zero on a long-running cluster job)
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    import pandas as _pd
+
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    (
+        spark.range(int(CPUS) * 4)
+        .repartition(int(CPUS))
+        .mapInPandas(_noop, schema="id long")
+        .count()
+    )
 
     timings: dict[str, float] = {}
     n_docs = 0

@@ -198,13 +198,27 @@ def extract_pages(
     shuffle_partitions: Optional[int] = None,
     salt: int = 0,
 ) -> DataFrame:
-    """Logical plan for one extraction pass (no side effects)."""
+    """Logical plan for one extraction pass (no side effects).
+
+    The salted repartition (north rule: defuse skew from giant HTML blobs)
+    defaults to "auto": widen to the session's default parallelism when the
+    scan yields fewer partitions than cores (small local inputs); at real
+    scale the scan already has thousands of splits and auto is a no-op, so
+    no gratuitous full shuffle of the blobs happens on a cluster.
+    """
     df = with_content_type(pages)
     df = df.withColumn("doc_hash", F.sha2(F.col("html"), 256))
     oversize = F.length(F.col("html")) > F.lit(max_bytes)
     df = df.withColumn(
         "content_type", F.when(oversize, F.lit("oversize")).otherwise(F.col("content_type"))
     )
+    if shuffle_partitions is None:
+        try:
+            default_par = pages.sparkSession.sparkContext.defaultParallelism
+            if pages.rdd.getNumPartitions() < default_par:
+                shuffle_partitions = default_par
+        except Exception:
+            shuffle_partitions = None
     if shuffle_partitions:
         df = df.repartition(
             shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))

@@ -19,6 +19,14 @@ def synth_pages(
 ) -> DataFrame:
     """documents.parquet → deterministic pages table (xN url variants)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread synthesis across cores BEFORE the explode and the (big) html
+    # string build: the shuffle moves only the small source rows, and every
+    # downstream stage inherits the parallel partitioning (extract_pages'
+    # auto repartition then skips its blob shuffle). Keeping the explode
+    # upstream of the shuffle would serialize variant fan-out in one task.
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
     if variants > 1:
         docs = docs.withColumn(
             "_v", F.explode(F.sequence(F.lit(0), F.lit(variants - 1)))
