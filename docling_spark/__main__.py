@@ -1,0 +1,61 @@
+"""spark-submit entry point (north rule launch mode).
+
+    zip -r engine.zip docling_spark            # or tools/make_pyfiles.py
+    spark-submit --py-files engine.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        $(python -c 'import docling_spark.__main__ as m; print(m.__file__)') \
+        --input /path/to/pages_parquet --output /path/to/out --run-id R1
+
+Reads the Common-Crawl-shaped pages table (url, warc_ts, html, text, lang),
+runs the resumable chunked extraction (see job.ExtractionRunner), writes
+data + lineage + metrics. Re-submitting with the same --run-id resumes from
+the last committed chunk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="docling_spark")
+    p.add_argument("--input", required=True, help="pages table path (parquet/iceberg)")
+    p.add_argument("--output", required=True, help="output root (data/ + lineage/)")
+    p.add_argument("--run-id", required=True)
+    p.add_argument("--num-chunks", type=int, default=64)
+    p.add_argument("--base-uri-mode", choices=["none", "url"], default="none")
+    p.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
+    p.add_argument("--no-dedup-latest", action="store_true")
+    p.add_argument("--master", default=None, help="only for local runs; under spark-submit leave unset")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    # absolute import: under `spark-submit path/to/__main__.py` this file is
+    # a top-level script, and the package itself arrives via --py-files
+    from docling_spark.job import ExtractionRunner, RunConfig, tuned_session
+
+    if args.master:
+        spark = tuned_session(master=args.master)
+    else:
+        # under spark-submit the session/config comes from the launcher
+        spark = SparkSession.builder.getOrCreate()
+
+    pages = spark.read.parquet(args.input)
+    cfg = RunConfig(
+        run_id=args.run_id,
+        output_path=args.output,
+        num_chunks=args.num_chunks,
+        base_uri_mode=args.base_uri_mode,
+        max_bytes=args.max_bytes,
+        dedup_latest=not args.no_dedup_latest,
+    )
+    stats = ExtractionRunner(spark, cfg).run(pages)
+    print(json.dumps({"run_id": args.run_id, **stats}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
