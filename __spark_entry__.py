@@ -99,6 +99,44 @@ def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical chunker: spans tree → (heading, chunk_text) rows."""
+    from docling_spark.ops.chunker import chunk_spans
+
+    pages = synth_pages(spark, sf_dir)
+    return chunk_spans(extract_pages(pages, base_uri_mode="none"))
+
+
+def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_spark.ops import multimodal as mm
+
+    return mm.decode_image_meta(mm.synth_media(spark, sf_dir))
+
+
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_spark.ops import multimodal as mm
+
+    return mm.image_features(mm.synth_media(spark, sf_dir))
+
+
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_spark.ops import multimodal as mm
+
+    return mm.resize_image(mm.synth_media(spark, sf_dir), factor=2)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_spark.ops import multimodal as mm
+
+    return mm.sample_frames(mm.synth_media(spark, sf_dir), every_k=2)
+
+
+def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from docling_spark.ops import multimodal as mm
+
+    return mm.audio_meta(mm.synth_media(spark, sf_dir))
+
+
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -254,6 +292,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
         "size_limits": q_size_limits,
+        "chunk_spans": q_chunk_spans,
+        "mm_image_meta": q_mm_image_meta,
+        "mm_image_features": q_mm_image_features,
+        "mm_resize": q_mm_resize,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_audio_meta": q_mm_audio_meta,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -379,6 +423,55 @@ def oracle_sql() -> dict[str, str]:
         "size_limits": """
             SELECT doc_id,
                    CASE WHEN n_chars > 300 THEN 'oversize' ELSE 'ok' END AS size_class
+            FROM documents
+        """,
+        "chunk_spans": f"""
+            SELECT {synth_url} AS url, 3 AS span_idx,
+                   'Document ' || doc_id AS heading, text AS chunk_text
+            FROM documents
+            UNION ALL
+            SELECT {synth_url}, CAST(4 + g.k AS INTEGER), 'Document ' || doc_id,
+                   split_part(text, ' ', g.k)
+            FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+        """,
+        "mm_image_meta": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS height,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+                   (16 + doc_id % 32) * (8 + doc_id % 16) * (1 + doc_id % 3) AS n_bytes
+            FROM documents
+        """,
+        "mm_image_features": """
+            SELECT doc_id,
+                   CAST(doc_id % 251 AS DOUBLE) AS mean_px,
+                   CAST(doc_id % 251 AS INTEGER) AS min_px,
+                   CAST(doc_id % 251 AS INTEGER) AS max_px
+            FROM documents
+        """,
+        "mm_resize": """
+            SELECT doc_id,
+                   CAST(greatest((16 + doc_id % 32) // 2, 1) AS INTEGER) AS width,
+                   CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS height,
+                   13 + greatest((16 + doc_id % 32) // 2, 1)
+                      * greatest((8 + doc_id % 16) // 2, 1)
+                      * (1 + doc_id % 3) AS n_bytes
+            FROM documents
+        """,
+        "mm_frame_sample": """
+            SELECT d.doc_id,
+                   CAST(k.k AS INTEGER) AS frame_idx,
+                   (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8) AS frame_bytes,
+                   CAST((d.doc_id + k.k) % 256 AS INTEGER) AS first_px
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 12, 2)) AS k) k
+        """,
+        "mm_audio_meta": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+                   CAST(1000 + (doc_id % 97) * 100 AS INTEGER) AS n_samples,
+                   round((1000 + (doc_id % 97) * 100) * 1000.0
+                         / (8000 + (doc_id % 3) * 4000), 4) AS duration_ms
             FROM documents
         """,
         "dedup_latest": """

@@ -1,0 +1,204 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is split:
+
+- the Spark-side plumbing (schemas, mapInPandas batch shape, partitioning,
+  metadata structs) is real and tested;
+- the byte-level codec is a deterministic fake format (``FIMG``/``FVID``/
+  ``FAUD`` headers below); swapping in a real codec (PIL/ffmpeg) is a
+  one-function change at the marked seam (`_decode_real`).
+
+Every op's output is independently derivable from ``doc_id`` alone, so the
+DuckDB oracle cross-checks the binary round-trip without itself parsing
+binaries.
+
+Fake formats (big-endian):
+  image: b"FIMG" w:int32 h:int32 c:uint8 payload[w*h*c] (constant byte v)
+  video: b"FVID" nframes:int32 fw:int32 fh:int32 frames (each one FIMG payload-less: constant byte per frame)
+  audio: b"FAUD" rate:int32 nsamples:int32 payload[nsamples] (constant byte)
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# deterministic per-doc parameters (the oracle recomputes these in SQL)
+def _img_params(doc_id: int) -> tuple[int, int, int, int]:
+    w = 16 + doc_id % 32
+    h = 8 + doc_id % 16
+    c = 1 + doc_id % 3
+    v = doc_id % 251
+    return w, h, c, v
+
+
+def _vid_params(doc_id: int) -> tuple[int, int, int]:
+    nframes = 4 + doc_id % 12
+    fw = 8 + doc_id % 8
+    fh = 8 + (doc_id // 2) % 8
+    return nframes, fw, fh
+
+
+def _aud_params(doc_id: int) -> tuple[int, int]:
+    rate = 8000 + (doc_id % 3) * 4000
+    nsamples = 1000 + (doc_id % 97) * 100
+    return rate, nsamples
+
+
+def make_image(doc_id: int) -> bytes:
+    w, h, c, v = _img_params(doc_id)
+    return b"FIMG" + struct.pack(">iiB", w, h, c) + bytes([v]) * (w * h * c)
+
+
+def make_video(doc_id: int) -> bytes:
+    nframes, fw, fh = _vid_params(doc_id)
+    frames = b"".join(bytes([(doc_id + k) % 256]) * (fw * fh) for k in range(nframes))
+    return b"FVID" + struct.pack(">iii", nframes, fw, fh) + frames
+
+
+def make_audio(doc_id: int) -> bytes:
+    rate, nsamples = _aud_params(doc_id)
+    return b"FAUD" + struct.pack(">ii", rate, nsamples) + bytes([doc_id % 256]) * nsamples
+
+
+def _decode_real(blob: bytes):  # pragma: no cover - seam for real codecs
+    """Real-codec seam: PIL.Image.open / ffmpeg demux would live here."""
+    raise NotImplementedError("real image/audio codecs unavailable in this env")
+
+
+# ---------------------------------------------------------------- synthesis
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, image binary, video binary, audio binary)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = [int(i) for i in b["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "image": [make_image(i) for i in ids],
+                    "video": [make_video(i) for i in ids],
+                    "audio": [make_audio(i) for i in ids],
+                }
+            )
+
+    return docs.mapInPandas(
+        build, schema="doc_id long, image binary, video binary, audio binary"
+    )
+
+
+# ------------------------------------------------------------------ decode ops
+def decode_image_meta(media: DataFrame) -> DataFrame:
+    """binary → typed metadata struct (the format-sniff + header parse)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["image"]):
+                blob = bytes(blob)
+                if blob[:4] != b"FIMG":
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
+                w, h, c = struct.unpack(">iiB", blob[4:13])
+                rows.append((int(doc_id), w, h, c, len(blob) - 13))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "channels", "n_bytes"]
+            )
+
+    return media.select("doc_id", "image").mapInPandas(
+        run, schema="doc_id long, width int, height int, channels int, n_bytes long"
+    )
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Payload statistics (mean/min/max pixel) — the feature-extract stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["image"]):
+                arr = np.frombuffer(bytes(blob)[13:], dtype=np.uint8)
+                rows.append(
+                    (int(doc_id), float(arr.mean()), int(arr.min()), int(arr.max()))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "mean_px", "min_px", "max_px"])
+
+    return media.select("doc_id", "image").mapInPandas(
+        run, schema="doc_id long, mean_px double, min_px int, max_px int"
+    )
+
+
+def resize_image(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Downsample by integer factor (nearest-neighbor on the fake format);
+    returns new binary + new dims. Real-codec version would swap the seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["image"]):
+                blob = bytes(blob)
+                w, h, c = struct.unpack(">iiB", blob[4:13])
+                nw, nh = max(w // factor, 1), max(h // factor, 1)
+                # constant-payload fake: resized payload is the same byte
+                payload = blob[13:14] * (nw * nh * c) if len(blob) > 13 else b""
+                out = b"FIMG" + struct.pack(">iiB", nw, nh, c) + payload
+                rows.append((int(doc_id), nw, nh, len(out)))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "n_bytes"])
+
+    return media.select("doc_id", "image").mapInPandas(
+        run, schema="doc_id long, width int, height int, n_bytes long"
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+    """Video frame sampling: one output row per kept frame (fan-out op —
+    the mapInPandas yields more rows than it receives)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["video"]):
+                blob = bytes(blob)
+                if blob[:4] != b"FVID":
+                    continue
+                nframes, fw, fh = struct.unpack(">iii", blob[4:16])
+                fsize = fw * fh
+                for k in range(0, nframes, every_k):
+                    frame = blob[16 + k * fsize : 16 + (k + 1) * fsize]
+                    rows.append((int(doc_id), k, len(frame), frame[0] if frame else None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "first_px"]
+            )
+
+    return media.select("doc_id", "video").mapInPandas(
+        run, schema="doc_id long, frame_idx int, frame_bytes long, first_px int"
+    )
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Audio header decode → duration."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["audio"]):
+                blob = bytes(blob)
+                rate, nsamples = struct.unpack(">ii", blob[4:12])
+                rows.append(
+                    (int(doc_id), rate, nsamples, round(nsamples * 1000.0 / rate, 4))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "rate", "n_samples", "duration_ms"])
+
+    return media.select("doc_id", "audio").mapInPandas(
+        run, schema="doc_id long, rate int, n_samples int, duration_ms double"
+    )

@@ -1,0 +1,74 @@
+"""Structured Streaming front-end for the extraction pipeline.
+
+The reference processes batches through an in-process ThreadedQueue with
+backpressure (/root/reference/docling/pipeline/standard_pdf_pipeline.py:103-169);
+Spark's equivalent for a continuously-fed crawl table is Structured
+Streaming: a file/Iceberg stream source feeding the SAME ``extract_pages``
+logical plan, with checkpointed exactly-once sinks. This module wires that
+up — the extraction logic itself is identical to the batch path (one plan,
+two drivers), which is the idiomatic Spark way to keep batch/stream parity.
+
+Scale notes: maxFilesPerTrigger bounds per-micro-batch work (the streaming
+analog of doc_batch_size); the checkpoint dir gives resume-from-offset,
+complementing the batch runner's lineage table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .job import extract_pages
+from .schema import PAGES_SCHEMA
+
+
+def read_pages_stream(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream over a growing pages directory (parquet)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def extract_stream(
+    pages_stream: DataFrame,
+    base_uri_mode: str = "none",
+    max_bytes: int = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Same logical plan as the batch path, minus the salted repartition
+    (micro-batches are already small; a shuffle per trigger buys nothing)."""
+    return extract_pages(
+        pages_stream,
+        base_uri_mode=base_uri_mode,
+        max_bytes=max_bytes,
+        shuffle_partitions=0,  # falsy → no repartition; streaming-safe plan
+    )
+
+
+def run_stream(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 16,
+    trigger_once: bool = True,
+):
+    """Start the streaming extraction. ``trigger_once`` drains what exists
+    and stops (the batch-equivalent mode used by tests and backfills);
+    otherwise runs continuously."""
+    stream = extract_stream(read_pages_stream(spark, input_path, max_files_per_trigger))
+    writer = (
+        stream.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
