@@ -1,0 +1,89 @@
+"""Physical-plan shape regression tests (scale-design assertions).
+
+These pin the properties that make the job viable at 10^12 rows: pruned
+scans, filter pushdown, broadcast joins for small dims, and exactly one
+blob-bearing exchange in the extraction pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan-test")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    yield s
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_extract_pipeline_single_exchange_before_udf(spark):
+    df = entry.q_extract_pipeline(spark, SF)
+    plan = _plan(df)
+    # exactly one shuffle, and it moves the small source rows (hash on doc_id)
+    assert plan.count("Exchange") == 1
+    assert "MapInPandas" in plan
+    # scan is column-pruned to the source columns only
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
+def test_broadcast_enrich_uses_broadcast_join(spark):
+    df = entry.q_broadcast_enrich(spark, SF)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    ).select("doc_id")
+    plan = _plan(docs)
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan
+    # column pruning: text column not read
+    assert "text" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_tpch_q1_partial_aggregation(spark):
+    plan = _plan(entry.q_tpch_q1(spark, SF))
+    # map-side combine: partial_ functions before the exchange
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_resume_antijoin_stays_antijoin(spark):
+    plan = _plan(entry.q_resume_antijoin(spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_dedup_latest_single_window_shuffle(spark):
+    plan = _plan(entry.q_dedup_latest(spark, SF))
+    assert "Window" in plan or "WindowGroupLimit" in plan
+    # rank-pushdown (WindowGroupLimit) keeps per-partition top-1 before shuffle
+    assert plan.count("Exchange") <= 2
+
+
+def test_whole_stage_codegen_on_jvm_path(spark):
+    # the JVM-side portion (scan/agg) compiles to whole-stage codegen;
+    # with AQE the final plan only materializes after execution
+    df = entry.q_events_hourly(spark, SF)
+    df.collect()
+    plan = _plan(df)
+    # codegen stages render as "*(n) HashAggregate..." in the plan string
+    assert "*(1)" in plan
+    assert "partial_count" in plan or "partial_avg" in plan
