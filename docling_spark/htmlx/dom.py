@@ -274,10 +274,16 @@ class _TreeParser(HTMLParser):
             d[k] = "" if v is None else v
         return d
 
+    # hostile-input hardening: a 10^4-deep <div> nest would blow the
+    # recursion limit of every later tree walk; html.parser itself has no
+    # depth bound. Elements beyond this depth attach as SIBLINGS at the cap
+    # (content is preserved, nesting flattened). Real pages stay < ~100.
+    MAX_DEPTH = 400
+
     def handle_starttag(self, name, attrs):
         tag = Tag(name, self._attr_dict(attrs))
         self._top().append_child(tag)
-        if name not in VOID_TAGS:
+        if name not in VOID_TAGS and len(self._open) < self.MAX_DEPTH:
             self._open.append(tag)
 
     def handle_startendtag(self, name, attrs):

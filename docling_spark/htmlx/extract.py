@@ -235,12 +235,18 @@ def resolve_href(loc: str, base: Optional[str]) -> str:
 def _cell_spans(cell: Tag) -> tuple[int, int]:
     """(colspan, rowspan); non-numeric → 1 (html_backend.py:1338-1363)."""
 
+    # hostile-input hardening beyond the reference: a colspan/rowspan bomb
+    # (e.g. colspan=10^9) would allocate a gigantic grid and stall a task;
+    # goldens never exceed single digits, so a generous cap keeps parity
+    # while bounding grid fill per anchor cell at ~65k cells.
+    _SPAN_CAP = 256
+
     def num(s: str) -> int:
         s = str(s)
         if s and s[0].isnumeric():
             m = re.search(r"\d+", s)
             if m:
-                return int(m.group())
+                return min(int(m.group()), _SPAN_CAP)
         return 1
 
     return num(cell.get("colspan", "1")), num(cell.get("rowspan", "1"))
