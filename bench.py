@@ -27,6 +27,8 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # family (dedup, text stats, ANN, relational, skew pattern).
 HEADLINE = [
     "extract_pipeline",
+    "pdf_extract",
+    "chunk_spans",
     "dedup_exact",
     "lsh_dup_pairs",
     "simhash",
