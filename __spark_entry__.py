@@ -99,6 +99,24 @@ def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spans_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-model fidelity: full (idx, parent, kind, label, text, layer)
+    tree per url, value-checked against the synth template's expected tree
+    (the relational form of the reference's export_to_dict JSON golden)."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    s = out.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        "url",
+        F.col("s.idx").alias("idx"),
+        F.col("s.parent").alias("parent"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.label").alias("label"),
+        F.col("s.text").alias("text"),
+        F.col("s.content_layer").alias("layer"),
+    )
+
+
 def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical chunker: spans tree → (heading, chunk_text) rows."""
     from docling_spark.ops.chunker import chunk_spans
@@ -292,6 +310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
         "size_limits": q_size_limits,
+        "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
@@ -424,6 +443,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN n_chars > 300 THEN 'oversize' ELSE 'ok' END AS size_class
             FROM documents
+        """,
+        "spans_export": f"""
+            WITH rows(idx, parent, kind, label, txt_kind, layer) AS (VALUES
+              (0, -1, 'group', 'unspecified', 'none', 'body'),
+              (1,  0, 'text',  'title',       'doc',  'furniture'),
+              (2,  0, 'text',  'title',       'document', 'body'),
+              (3,  2, 'text',  'text',        'fulltext', 'body'),
+              (4,  2, 'group', 'list',        'none', 'body'),
+              (5,  4, 'text',  'list_item',   'w1',   'body'),
+              (6,  4, 'text',  'list_item',   'w2',   'body'),
+              (7,  4, 'text',  'list_item',   'w3',   'body'),
+              (8,  2, 'table', 'table',       'none', 'body'))
+            SELECT {synth_url} AS url, r.idx, r.parent, r.kind, r.label,
+                   CASE r.txt_kind
+                     WHEN 'doc' THEN 'Doc ' || d.doc_id
+                     WHEN 'document' THEN 'Document ' || d.doc_id
+                     WHEN 'fulltext' THEN d.text
+                     WHEN 'w1' THEN split_part(d.text, ' ', 1)
+                     WHEN 'w2' THEN split_part(d.text, ' ', 2)
+                     WHEN 'w3' THEN split_part(d.text, ' ', 3)
+                     ELSE NULL END AS text,
+                   r.layer
+            FROM documents d CROSS JOIN rows r
         """,
         "chunk_spans": f"""
             SELECT {synth_url} AS url, 3 AS span_idx,

@@ -26,6 +26,8 @@ def extract_pdf_text(blob: bytes) -> PdfResult:
         from .layout import page_cells_to_text
 
         pdf = PdfDocument(blob)
+        if pdf.trailer.get("Encrypt") is not None:
+            return PdfResult(status="failure", error="encrypted PDF")
         page_texts = []
         needs_ocr_pages = 0
         pages_meta = []
