@@ -183,11 +183,24 @@ class Tag:
         return iter(self.contents)
 
     def descendants(self) -> Iterator:
-        """Pre-order traversal of all descendant nodes (tags and text)."""
-        for child in self.contents:
-            yield child
-            if isinstance(child, Tag):
-                yield from child.descendants()
+        """Pre-order traversal of all descendant nodes (tags and text).
+
+        Iterative (explicit stack): recursion via nested `yield from` costs a
+        generator frame per tree level per yielded node, which dominated the
+        extraction profile; this also makes traversal immune to the Python
+        recursion limit on hostile deep trees."""
+        stack = [iter(self.contents)]
+        while stack:
+            it = stack[-1]
+            advanced = False
+            for child in it:
+                yield child
+                if isinstance(child, Tag) and child.contents:
+                    stack.append(iter(child.contents))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
 
     def find_all(
         self,
