@@ -125,6 +125,21 @@ def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(extract_pages(pages, base_uri_mode="none"))
 
 
+def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF branch span model: title block + one paragraph span per doc."""
+    from docling_spark.ops.corpus import synth_pages_pdf
+
+    pages = synth_pages_pdf(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    s = out.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        "url",
+        F.col("s.idx").alias("idx"),
+        F.col("s.text").alias("text"),
+        F.col("s.label").alias("label"),
+    )
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
@@ -312,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,
         "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
+        "pdf_spans": q_pdf_spans,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
@@ -475,6 +491,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT {synth_url}, CAST(4 + g.k AS INTEGER), 'Document ' || doc_id,
                    split_part(text, ' ', g.k)
             FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+        """,
+        "pdf_spans": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,
+                   0 AS idx, 'Document ' || doc_id AS text, 'text' AS label
+            FROM documents
+            UNION ALL
+            SELECT 'https://synth.test/doc/' || doc_id || '.pdf',
+                   1, text, 'text'
+            FROM documents
         """,
         "mm_image_meta": """
             SELECT doc_id,

@@ -148,10 +148,40 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             from .pdfx.extract import extract_pdf_text
 
             res = extract_pdf_text(bytes(blob))
+            # uniform span model across backends: one body text span per
+            # paragraph block (PDF has no heading/list labels without NN)
+            spans = None
+            if res.text:
+                blocks = [b for b in res.text.split("\n\n") if b]
+                spans = [
+                    {
+                        "idx": i,
+                        "parent": -1,
+                        "kind": "text",
+                        "label": "text",
+                        "name": None,
+                        "text": b,
+                        "level": None,
+                        "marker": None,
+                        "enumerated": None,
+                        "bold": None,
+                        "italic": None,
+                        "underline": None,
+                        "strikethrough": None,
+                        "script": None,
+                        "hyperlink": None,
+                        "content_layer": "body",
+                        "num_rows": None,
+                        "num_cols": None,
+                    }
+                    for i, b in enumerate(blocks)
+                ]
             out.update(
                 status=res.status,
                 extracted_text=res.text,
                 error=res.error,
+                spans=spans,
+                n_items=len(spans) if spans else None,
                 n_chars=len(res.text) if res.text else None,
             )
         else:
