@@ -106,8 +106,28 @@ class TextInterpreter:
             data = self.page.content_bytes()
         except Exception:
             return []
-        self._exec(data, res, IDENTITY, depth=0)
+        self._exec(data, res, self._base_ctm(), depth=0)
         return self.runs
+
+    def _base_ctm(self) -> Matrix:
+        """Undo /Rotate so downstream geometry is upright (viewer semantics:
+        the page is DISPLAYED rotated; mapping content through the inverse
+        rotation yields reading-orientation coordinates)."""
+        try:
+            rot = self.page.rotation()
+            x0, y0, x1, y1 = self.page.mediabox()
+        except Exception:
+            return IDENTITY
+        w, h = x1 - x0, y1 - y0
+        shift: Matrix = (1, 0, 0, 1, -x0, -y0)
+        if rot == 90:
+            # device x' = y, y' = w - x  (rotate -90 into upright w×h swap)
+            return mmul(shift, (0, -1, 1, 0, 0, w))
+        if rot == 180:
+            return mmul(shift, (-1, 0, 0, -1, w, h))
+        if rot == 270:
+            return mmul(shift, (0, 1, -1, 0, h, 0))
+        return shift
 
     # ------------------------------------------------------------ executor
     def _exec(self, data: bytes, resources: dict, base_ctm: Matrix, depth: int) -> None:

@@ -615,6 +615,13 @@ class PdfPage:
         x0, y0, x1, y1 = vals
         return (min(x0, x1), min(y0, y1), max(x0, x1), max(y0, y1))
 
+    def rotation(self) -> int:
+        try:
+            r = int(self.doc.resolve(self.dict.get("Rotate", 0)) or 0)
+        except (TypeError, ValueError):
+            r = 0
+        return r % 360
+
     def content_bytes(self) -> bytes:
         c = self.doc.resolve(self.dict.get("Contents"))
         if isinstance(c, Stream):
@@ -633,10 +640,17 @@ class PdfPage:
         return r if isinstance(r, dict) else {}
 
     def text_cells(self) -> list:
-        """Runs → merged text cells in reading order (see layout.py)."""
+        """Runs → merged text cells in reading order (see layout.py).
+
+        /Rotate is normalized here: the run extractor composes a base CTM
+        that maps content coordinates into an upright page, so line grouping
+        and XY-cut always see reading-orientation geometry."""
         from .content import extract_runs
         from .layout import runs_to_cells
 
         runs = extract_runs(self)
-        h = self.mediabox()[3] - self.mediabox()[1]
+        x0, y0, x1, y1 = self.mediabox()
+        w, h = x1 - x0, y1 - y0
+        if self.rotation() in (90, 270):
+            h = w
         return runs_to_cells(runs, page_height=h)

@@ -155,3 +155,34 @@ def test_xycut_title_spanning_columns():
     ]
     out = [c.text for c in xycut_order(cells)]
     assert out == ["Title", "L1", "L2", "R1"]
+
+
+# ------------------------------------------------------------- page rotation
+def _rotate_pdf(blob: bytes, deg: int, w=612, h=792) -> bytes:
+    """Pre-rotate content by the inverse map + set /Rotate — a viewer shows
+    this identically to the upright original, so extraction must too."""
+    import re
+
+    inv = {
+        90: b"0 1 -1 0 %d 0 cm\n" % w,
+        180: b"-1 0 0 -1 %d %d cm\n" % (w, h),
+        270: b"0 -1 1 0 0 %d cm\n" % h,
+    }[deg]
+    i = blob.find(b"stream\n")
+    j = blob.find(b"\nendstream", i)
+    content = inv + blob[i + 7 : j]
+    out = blob[:i] + b"stream\n" + content + blob[j:]
+    out = re.sub(rb"/Length \d+", b"/Length %d" % len(content), out, count=1)
+    return out.replace(
+        b"/Type /Page /Parent", b"/Type /Page /Rotate %d /Parent" % deg, 1
+    )
+
+
+@pytest.mark.parametrize("deg", [90, 180, 270])
+def test_rotated_page_extracts_upright(deg):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    base = synth_pdf_bytes(3, text)
+    expected = extract_pdf_text(base).text
+    r = extract_pdf_text(_rotate_pdf(base, deg))
+    assert r.status == "success"
+    assert r.text == expected
