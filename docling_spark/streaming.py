@@ -51,6 +51,31 @@ def extract_stream(
     )
 
 
+def windowed_status_counts(
+    extracted_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming metrics: per-(event-time window, status) doc counts with a
+    watermark bounding late-data state. This is the streaming analog of the
+    batch runner's lineage `status_counts` — state is dropped once the
+    watermark passes a window's end, so the aggregation runs forever on a
+    crawl feed without unbounded memory."""
+    from pyspark.sql import functions as F
+
+    return (
+        extracted_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "status")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status",
+            "n",
+        )
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_path: str,

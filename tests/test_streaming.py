@@ -62,3 +62,62 @@ def test_stream_drain_and_incremental(spark, tmp_path):
     b = {r.url: r.extracted_text for r in batch.select("url", "extracted_text").collect()}
     s = {r.url: r.extracted_text for r in got2.select("url", "extracted_text").collect()}
     assert b == s
+
+
+def test_windowed_status_counts_with_watermark(spark, tmp_path):
+    from docling_spark.streaming import (
+        extract_stream,
+        read_pages_stream,
+        windowed_status_counts,
+    )
+
+    inp = str(tmp_path / "win_in")
+    out = str(tmp_path / "win_out")
+    ckpt = str(tmp_path / "win_ckpt")
+    _write_slice(spark, inp, 0, 100)
+
+    agg = windowed_status_counts(
+        extract_stream(read_pages_stream(spark, inp)),
+        window="1 minute",
+        watermark="0 seconds",
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+    # synth warc_ts = 2024-01-01 + doc_id seconds → docs 0..99 span two
+    # 1-minute windows. Append mode emits a window only once the watermark
+    # passes its end: final watermark = 00:01:39, so the FIRST window (60
+    # success docs) is emitted and the second is correctly withheld as
+    # potentially-late state — that withholding IS the late-data contract.
+    rows = {(r.window_start.isoformat(), r.status): r.n for r in got.collect()}
+    assert rows == {("2024-01-01T00:00:00", "success"): 60}
+
+    # a later micro-batch with newer events advances the watermark and
+    # flushes the second window
+    _write_slice(spark, inp, 200, 220)  # warc_ts 200..219s > window2 end
+    q2 = (
+        windowed_status_counts(
+            extract_stream(read_pages_stream(spark, inp)),
+            window="1 minute",
+            watermark="0 seconds",
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(300)
+    got2 = spark.read.parquet(out)
+    by_win = {
+        (r.window_start.isoformat(), r.status): r.n for r in got2.collect()
+    }
+    assert by_win[("2024-01-01T00:01:00", "success")] == 40
