@@ -76,6 +76,64 @@ def windowed_status_counts(
     )
 
 
+def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
+    """Cross-micro-batch exact dedup: emit each doc_hash's FIRST-SEEN row
+    only, suppressing every later duplicate for as long as the state lives.
+
+    Custom stateful operator via ``applyInPandasWithState`` keyed by
+    doc_hash — the streaming analog of the batch exact-dedup groupBy. State
+    per key is one boolean; on a real crawl feed pair this with a state TTL
+    (GroupStateTimeout) sized to the recrawl horizon."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_hash", StringType()),
+            StructField("url", StringType()),
+            StructField("warc_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            first_url, first_ts = None, None
+        else:
+            first_url, first_ts = None, None
+            for pdf in pdfs:
+                pdf = pdf.sort_values("warc_ts", kind="stable")
+                if len(pdf) and first_url is None:
+                    first_url = pdf["url"].iloc[0]
+                    first_ts = pdf["warc_ts"].iloc[0]
+                    break
+            state.update(("y",))
+        if first_url is not None:
+            yield pd.DataFrame(
+                {"doc_hash": [key[0]], "url": [first_url], "warc_ts": [first_ts]}
+            )
+
+    hashed = pages_stream.withColumn("doc_hash", F.sha2(F.col("html"), 256))
+    return (
+        hashed.select("doc_hash", "url", "warc_ts")
+        .groupBy("doc_hash")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_path: str,

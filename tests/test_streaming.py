@@ -121,3 +121,57 @@ def test_windowed_status_counts_with_watermark(spark, tmp_path):
         (r.window_start.isoformat(), r.status): r.n for r in got2.collect()
     }
     assert by_win[("2024-01-01T00:01:00", "success")] == 40
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    from docling_spark.streaming import stateful_dedup_stream
+    from docling_spark.schema import PAGES_SCHEMA
+    import datetime
+
+    inp = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = (
+            stateful_dedup_stream(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: two distinct bodies + one duplicate
+    write_batch(
+        [
+            ("https://t/a", ts, b"<p>same-body</p>", None, "en"),
+            ("https://t/b", ts, b"<p>other-body</p>", None, "en"),
+            ("https://t/a2", ts, b"<p>same-body</p>", None, "en"),
+        ]
+    )
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 2  # in-batch duplicate suppressed
+
+    # batch 2: replays an old body + introduces a new one
+    write_batch(
+        [
+            ("https://t/a3", ts, b"<p>same-body</p>", None, "en"),
+            ("https://t/c", ts, b"<p>new-body</p>", None, "en"),
+        ]
+    )
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # cross-batch duplicate suppressed via state
+    assert got.select("doc_hash").distinct().count() == 3
