@@ -87,3 +87,33 @@ def test_whole_stage_codegen_on_jvm_path(spark):
     # codegen stages render as "*(n) HashAggregate..." in the plan string
     assert "*(1)" in plan
     assert "partial_count" in plan or "partial_avg" in plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Co-located (bucketed) join: both sides bucketed on the join key →
+    SortMergeJoin with ZERO exchanges. This is the pattern for repeated
+    large-x-large joins at 100 TB (bucket once, join many times)."""
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.warehouse.dir", str(tmp_path / "wh"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+        .getOrCreate()
+    )
+    li = s.read.parquet(f"{SF}/lineitem.parquet")
+    orders = s.read.parquet(f"{SF}/orders.parquet")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("li_bucketed")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("ord_bucketed")
+    j = s.table("li_bucketed").join(
+        s.table("ord_bucketed"),
+        s.table("li_bucketed").l_orderkey == s.table("ord_bucketed").o_orderkey,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0
+    assert "Bucketed: true" in plan
+    # result parity with the shuffled join
+    assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
