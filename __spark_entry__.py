@@ -125,6 +125,37 @@ def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(extract_pages(pages, base_uri_mode="none"))
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source round-trip: each page wrapped in a WARC response record
+    (gzip member), parsed back through the WARC reader, then extracted —
+    value-checked against the same oracle as the direct HTML path."""
+    import pandas as pd
+
+    from docling_spark.sources.warc import build_warc, warc_to_rows
+
+    pages = synth_pages(spark, sf_dir)
+
+    def roundtrip(batches):
+        cols = ["url", "warc_ts", "html", "text", "lang"]
+        for b in batches:
+            rows = []
+            for url, ts, html in zip(b["url"], b["warc_ts"], b["html"]):
+                blob = build_warc(
+                    [(url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"), bytes(html))],
+                    gzip_members=True,
+                )
+                rows.extend(warc_to_rows(blob))
+            df = pd.DataFrame(rows, columns=cols)
+            yield df
+
+    parsed = pages.mapInPandas(
+        roundtrip,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = extract_pages(parsed, base_uri_mode="none")
+    return out.select("url", "status", "extracted_text", "doc_hash")
+
+
 def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF branch span model: title block + one paragraph span per doc."""
     from docling_spark.ops.corpus import synth_pages_pdf
@@ -327,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,
         "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
+        "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
@@ -491,6 +523,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT {synth_url}, CAST(4 + g.k AS INTEGER), 'Document ' || doc_id,
                    split_part(text, ' ', g.k)
             FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+        """,
+        "warc_extract": f"""
+            SELECT {synth_url} AS url,
+                   'success' AS status,
+                   {SYNTH_MD_SQL} AS extracted_text,
+                   sha256({synth_html}) AS doc_hash
+            FROM documents
         """,
         "pdf_spans": """
             SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,

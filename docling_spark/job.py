@@ -367,6 +367,8 @@ def tuned_session(
     return (
         SparkSession.builder.master(master)
         .appName(app)
+        .config("spark.driver.memory", "8g")  # local mode: the driver JVM IS
+        # the executor; the 1g default GC-thrashes on blob-heavy shuffles
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
