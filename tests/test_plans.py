@@ -93,13 +93,23 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     """Co-located (bucketed) join: both sides bucketed on the join key →
     SortMergeJoin with ZERO exchanges. This is the pattern for repeated
     large-x-large joins at 100 TB (bucket once, join many times)."""
+    import shutil
+
+    # getOrCreate may reuse an existing session, so warehouse-dir config is
+    # not reliable here — clean both catalog entries and default locations
     s = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.warehouse.dir", str(tmp_path / "wh"))
         .config("spark.sql.autoBroadcastJoinThreshold", "-1")
         .getOrCreate()
     )
+    wh = s.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "ord_bucketed"):
+        s.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    # session may be reused → builder config above didn't apply; set at runtime
+    prev_bc = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     li = s.read.parquet(f"{SF}/lineitem.parquet")
     orders = s.read.parquet(f"{SF}/orders.parquet")
     li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
@@ -113,7 +123,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         s.table("li_bucketed").l_orderkey == s.table("ord_bucketed").o_orderkey,
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 0
-    assert "Bucketed: true" in plan
-    # result parity with the shuffled join
-    assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    try:
+        assert plan.count("Exchange") == 0
+        assert "Bucketed: true" in plan
+        # result parity with the shuffled join
+        assert (
+            j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        )
+    finally:
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        for t in ("li_bucketed", "ord_bucketed"):
+            s.sql(f"DROP TABLE IF EXISTS {t}")
