@@ -270,13 +270,35 @@ class _TreeParser(HTMLParser):
     is handled natively by the stdlib parser.
     """
 
+    # bs4 parity: whitespace-only text runs collapse to "\n" (if they contain
+    # a newline) or " ", unless inside a whitespace-preserving tag; and
+    # consecutive handle_data chunks merge into ONE string node (bs4 buffers
+    # in current_data and flushes at tag boundaries via endData)
+    _ASCII_SPACES = frozenset(" \n\t\x0c\r")
+    _PRESERVE_WS = frozenset({"pre", "textarea"})
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.root = Tag("[document]")
         self._open: list[Tag] = [self.root]
+        self._data_buf: list[str] = []
+        self._preserve_depth = 0
 
     def _top(self) -> Tag:
         return self._open[-1]
+
+    def _flush_data(self) -> None:
+        if not self._data_buf:
+            return
+        data = "".join(self._data_buf)
+        self._data_buf.clear()
+        if not data:
+            return
+        if self._preserve_depth == 0 and all(
+            c in self._ASCII_SPACES for c in data
+        ):
+            data = "\n" if "\n" in data else " "
+        self._top().append_child(TextNode(data))
 
     @staticmethod
     def _attr_dict(attrs) -> dict:
@@ -294,38 +316,49 @@ class _TreeParser(HTMLParser):
     MAX_DEPTH = 400
 
     def handle_starttag(self, name, attrs):
+        self._flush_data()
         tag = Tag(name, self._attr_dict(attrs))
         self._top().append_child(tag)
         if name not in VOID_TAGS and len(self._open) < self.MAX_DEPTH:
             self._open.append(tag)
+            if name in self._PRESERVE_WS:
+                self._preserve_depth += 1
 
     def handle_startendtag(self, name, attrs):
+        self._flush_data()
         tag = Tag(name, self._attr_dict(attrs))
         self._top().append_child(tag)
 
     def handle_endtag(self, name):
+        self._flush_data()
         if name in VOID_TAGS:
             return
         for i in range(len(self._open) - 1, 0, -1):
             if self._open[i].tag_name == name:
+                for t in self._open[i:]:
+                    if t.tag_name in self._PRESERVE_WS:
+                        self._preserve_depth -= 1
                 del self._open[i:]
                 return
         # unmatched end tag: dropped
 
     def handle_data(self, data):
         if data:
-            self._top().append_child(TextNode(data))
+            self._data_buf.append(data)
 
     def handle_comment(self, data):
+        self._flush_data()
         self._top().append_child(MarkupNode(data))
 
     def handle_decl(self, decl):
         self._top().append_child(MarkupNode(decl))
 
     def handle_pi(self, data):
+        self._flush_data()
         self._top().append_child(MarkupNode(data))
 
     def unknown_decl(self, data):
+        self._flush_data()
         self._top().append_child(MarkupNode(data))
 
 
@@ -335,4 +368,5 @@ def parse_html(raw: Union[bytes, str]) -> Tag:
     p = _TreeParser()
     p.feed(text)
     p.close()
+    p._flush_data()
     return p.root
