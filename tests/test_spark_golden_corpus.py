@@ -1,0 +1,74 @@
+"""SURVEY §5 rebuild plan (b): load the reference fixture corpus into a
+pages table shaped per input_hint, run the FULL Spark job on local[*], join
+output to goldens on url, and assert byte equality of extracted_text (md),
+itxt, and the DoclingDocument JSON."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import SparkSession
+
+from docling_spark.job import extract_pages
+from docling_spark.schema import PAGES_SCHEMA
+
+DATA = Path("/root/reference/tests/data/html")
+GT = DATA.parent / "groundtruth" / "docling_v2"
+FIXTURES = sorted(p for p in DATA.glob("*.html") if (GT / f"{p.name}.md").exists())
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("golden-corpus")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    yield s
+
+
+def test_spark_job_matches_goldens(spark):
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"https://corpus.test/{p.name}", ts, p.read_bytes(), None, "en")
+        for p in FIXTURES
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {
+        r.url: r
+        for r in extract_pages(pages, base_uri_mode="none").collect()
+    }
+    assert len(out) == len(FIXTURES)
+    for p in FIXTURES:
+        r = out[f"https://corpus.test/{p.name}"]
+        assert r.status == "success", f"{p.name}: {r.error}"
+        assert r.content_type == "html"
+        assert r.extracted_text == (GT / f"{p.name}.md").read_text(), p.name
+        assert r.itxt == (GT / f"{p.name}.itxt").read_text(), p.name
+
+
+def test_spark_job_span_counts_match_goldens(spark):
+    """Span-model fidelity through Spark: per-kind item counts equal the
+    golden JSON's array lengths."""
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (f"https://corpus.test/{p.name}", ts, p.read_bytes(), None, "en")
+        for p in FIXTURES
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    for p in FIXTURES:
+        gt = json.loads((GT / f"{p.name}.json").read_text())
+        spans = out[f"https://corpus.test/{p.name}"].spans
+        by_kind = {}
+        for s in spans:
+            by_kind[s.kind] = by_kind.get(s.kind, 0) + 1
+        assert by_kind.get("text", 0) == len(gt["texts"]), p.name
+        assert by_kind.get("table", 0) == len(gt["tables"]), p.name
+        assert by_kind.get("picture", 0) == len(gt["pictures"]), p.name
+        # our span list includes the body root group; goldens don't
+        assert by_kind.get("group", 0) - 1 == len(gt["groups"]), p.name
