@@ -125,6 +125,26 @@ def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_spans(extract_pages(pages, base_uri_mode="none"))
 
 
+def q_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoclingDocument JSON fidelity column: extract with with_doc_json=True
+    and project JSON fields; the oracle predicts them independently from
+    doc_id (so the whole json build+parse round-trip is value-checked)."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none", with_doc_json=True)
+    j = F.col("doc_json")
+    return out.select(
+        "url",
+        F.get_json_object(j, "$.schema_name").alias("schema_name"),
+        F.get_json_object(j, "$.version").alias("version"),
+        F.get_json_object(j, "$.name").alias("doc_name"),
+        F.get_json_object(j, "$.origin.filename").alias("filename"),
+        F.get_json_object(j, "$.texts[1].text").alias("h1_text"),
+        F.json_array_length(F.get_json_object(j, "$.texts")).alias("n_texts"),
+        F.json_array_length(F.get_json_object(j, "$.tables")).alias("n_tables"),
+        F.json_array_length(F.get_json_object(j, "$.groups")).alias("n_groups"),
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip: each page wrapped in a WARC response record
     (gzip member), parsed back through the WARC reader, then extracted —
@@ -358,6 +378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,
         "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
+        "doc_json": q_doc_json,
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
         "mm_image_meta": q_mm_image_meta,
@@ -523,6 +544,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT {synth_url}, CAST(4 + g.k AS INTEGER), 'Document ' || doc_id,
                    split_part(text, ' ', g.k)
             FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+        """,
+        "doc_json": f"""
+            SELECT {synth_url} AS url,
+                   'DoclingDocument' AS schema_name,
+                   '1.7.0' AS version,
+                   CAST(doc_id AS VARCHAR) AS doc_name,
+                   doc_id || '.html' AS filename,
+                   'Document ' || doc_id AS h1_text,
+                   6 AS n_texts,
+                   1 AS n_tables,
+                   1 AS n_groups
+            FROM documents
         """,
         "warc_extract": f"""
             SELECT {synth_url} AS url,

@@ -110,7 +110,8 @@ def _doc_to_spans(doc) -> list[dict]:
 
 
 def _extract_one(url: str, blob: Optional[bytes], content_type: str,
-                 base_uri_mode: str, doc_timeout_s: float) -> dict:
+                 base_uri_mode: str, doc_timeout_s: float,
+                 with_doc_json: bool = False) -> dict:
     """One document through its backend; never raises (SURVEY §2.5:
     one bad doc must not kill a task)."""
     t0 = time.perf_counter()
@@ -122,6 +123,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
         "spans": None,
         "n_items": None,
         "n_chars": None,
+        "doc_json": None,
     }
     try:
         if blob is None or len(blob) == 0:
@@ -134,8 +136,15 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             from .serialize import to_itxt, to_markdown
 
             base = url if base_uri_mode == "url" else "None"
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
             doc = HtmlExtractor(base_uri=base).convert(bytes(blob))
+            doc.name = filename.rsplit(".", 1)[0] or "file"
             md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(doc, filename, bytes(blob))
             out.update(
                 status="success",
                 extracted_text=md,
@@ -143,6 +152,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 spans=_doc_to_spans(doc),
                 n_items=len(doc.items),
                 n_chars=len(md),
+                doc_json=doc_json,
             )
         elif content_type == "pdf":
             from .pdfx.extract import extract_pdf_text
@@ -194,17 +204,21 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
     return out
 
 
-def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0):
+def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0,
+                     with_doc_json: bool = False):
     """Build the mapInPandas function. ``base_uri_mode``: "url" resolves
     relative hrefs against the row's url; "none" mirrors the reference's
-    golden-generation default (source_uri=None)."""
+    golden-generation default (source_uri=None). ``with_doc_json`` adds the
+    full DoclingDocument JSON per row (the reference's save format) — off by
+    default since it roughly doubles output bytes."""
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_in in batches:
             rows = []
             for r in pdf_in.itertuples(index=False):
                 res = _extract_one(
-                    r.url, r.html, r.content_type, base_uri_mode, doc_timeout_s
+                    r.url, r.html, r.content_type, base_uri_mode, doc_timeout_s,
+                    with_doc_json=with_doc_json,
                 )
                 rows.append(
                     {
@@ -227,6 +241,7 @@ def extract_pages(
     max_bytes: int = 64 * 1024 * 1024,
     shuffle_partitions: Optional[int] = None,
     salt: int = 0,
+    with_doc_json: bool = False,
 ) -> DataFrame:
     """Logical plan for one extraction pass (no side effects).
 
@@ -253,7 +268,7 @@ def extract_pages(
         df = df.repartition(
             shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))
         )
-    udf = make_extract_udf(base_uri_mode=base_uri_mode)
+    udf = make_extract_udf(base_uri_mode=base_uri_mode, with_doc_json=with_doc_json)
     cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
     return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)
 

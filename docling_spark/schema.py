@@ -74,6 +74,7 @@ EXTRACTED_SCHEMA = StructType(
         StructField("n_items", IntegerType(), True),
         StructField("n_chars", IntegerType(), True),
         StructField("proc_ms", DoubleType(), True),
+        StructField("doc_json", StringType(), True),  # DoclingDocument JSON
     ]
 )
 
