@@ -293,6 +293,17 @@ def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_assign(_emb(spark, sf_dir).filter(F.col("vec_id") < 300), n_centroids=8)
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann.ivf_search(
+        _emb(spark, sf_dir).filter(F.col("vec_id") < 300),
+        query_id=0, k=5, n_centroids=8, nprobe=3,
+    )
+
+
 def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSH-bucketed scale path (candidates only — no SQL oracle by design)
     return ann.bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
@@ -398,6 +409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embedding_dups_exact": q_embedding_dups_exact,
+        "ivf_assign": q_ivf_assign,
+        "ivf_search": q_ivf_search,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         "events_hourly": q_events_hourly,
         "metrics_rollup": q_metrics_rollup,
@@ -721,6 +734,56 @@ def oracle_sql() -> dict[str, str]:
               AND round(list_dot_product(a.embedding, b.embedding) /
                         (sqrt(list_dot_product(a.embedding, a.embedding)) *
                          sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.8
+        """,
+        "ivf_assign": """
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
+            c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                  FROM embeddings WHERE vec_id < 8),
+            sims AS (
+              SELECT e.vec_id, c.centroid_id,
+                     round(list_dot_product(e.embedding, c.centroid) /
+                           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                            sqrt(list_dot_product(c.centroid, c.centroid))), 4) AS sim
+              FROM e CROSS JOIN c),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                         ORDER BY sim DESC, centroid_id) AS rn FROM sims)
+            SELECT vec_id, centroid_id, sim AS centroid_sim
+            FROM ranked WHERE rn = 1
+        """,
+        "ivf_search": """
+            WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
+            c AS (SELECT vec_id AS centroid_id, embedding AS centroid
+                  FROM embeddings WHERE vec_id < 8),
+            sims AS (
+              SELECT e.vec_id, c.centroid_id,
+                     round(list_dot_product(e.embedding, c.centroid) /
+                           (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                            sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+              FROM e CROSS JOIN c),
+            assign AS (
+              SELECT vec_id, centroid_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY sim DESC, centroid_id) AS rn FROM sims)
+              WHERE rn = 1),
+            q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+            probed AS (
+              SELECT c.centroid_id FROM c, q
+              ORDER BY round(list_dot_product(c.centroid, q.qv) /
+                        (sqrt(list_dot_product(c.centroid, c.centroid)) *
+                         sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+                       c.centroid_id
+              LIMIT 3)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.embedding, q.qv) /
+                         (sqrt(list_dot_product(e.embedding, e.embedding)) *
+                          sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+            FROM e
+            JOIN assign a ON a.vec_id = e.vec_id
+            JOIN probed p ON p.centroid_id = a.centroid_id
+            CROSS JOIN q
+            WHERE e.vec_id != 0
+            ORDER BY cosine DESC, e.vec_id LIMIT 5
         """,
         "events_hourly": """
             SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr, event_type,

@@ -113,3 +113,74 @@ def embedding_cosine_dups(
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ IVF path
+def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """IVF cell assignment: centroid = the embedding of vec_id < n_centroids
+    (deterministic "seeded" codebook — on a real corpus this would be a
+    k-means fit, but the partition/probe machinery is identical), cell =
+    argmax cosine. Broadcast centroids; ranking via window, all JVM-side."""
+    from pyspark.sql.window import Window
+
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    sim = _dot(F.col("embedding"), F.col("centroid")) / (
+        _norm(F.col("embedding")) * _norm(F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id")
+    )
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .withColumn("sim", F.round(sim, 4))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", F.col("sim").alias("centroid_sim"))
+    )
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF top-k: probe only the nprobe cells nearest the query, brute-force
+    within them. At 10^9 vectors this scans ~nprobe/n_centroids of the data
+    instead of all of it; the probed subset is an equi-join on cell id."""
+    assign = ivf_assign(embeddings, n_centroids)
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    qsim = _dot(F.col("centroid"), F.col("q")) / (
+        _norm(F.col("centroid")) * _norm(F.col("q"))
+    )
+    probed = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("qsim", F.round(qsim, 6))
+        .orderBy(F.col("qsim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cand = (
+        assign.join(F.broadcast(probed), "centroid_id")
+        .filter(F.col("vec_id") != query_id)
+        .join(embeddings, "vec_id")
+        .crossJoin(F.broadcast(q))
+    )
+    sim = _dot(F.col("embedding"), F.col("q")) / (
+        _norm(F.col("embedding")) * _norm(F.col("q"))
+    )
+    return (
+        cand.select("vec_id", F.round(sim, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
