@@ -191,6 +191,14 @@ def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunk packing over the spans chunker."""
+    from docling_spark.ops.chunker import chunk_spans, pack_chunks
+
+    pages = synth_pages(spark, sf_dir)
+    return pack_chunks(chunk_spans(extract_pages(pages)), budget_tokens=16)
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
@@ -392,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_json": q_doc_json,
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
+        "chunk_pack": q_chunk_pack,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
@@ -585,6 +594,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://synth.test/doc/' || doc_id || '.pdf',
                    1, text, 'text'
             FROM documents
+        """,
+        "chunk_pack": f"""
+            WITH chunks AS (
+              SELECT {synth_url} AS url, 3 AS span_idx, text AS chunk_text
+              FROM documents
+              UNION ALL
+              SELECT {synth_url}, 4 + g.k, split_part(text, ' ', g.k)
+              FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+            ),
+            t AS (
+              SELECT url, span_idx, chunk_text,
+                     len(string_split(chunk_text, ' ')) AS n_tokens
+              FROM chunks),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY url ORDER BY span_idx
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT url, CAST((cum0 - 1) // 16 AS INTEGER) AS pack_id,
+                   count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(chunk_text, ' ' ORDER BY span_idx) AS packed_text
+            FROM (SELECT *, cum AS cum0 FROM c)
+            GROUP BY url, CAST((cum0 - 1) // 16 AS INTEGER)
         """,
         "mm_image_meta": """
             SELECT doc_id,

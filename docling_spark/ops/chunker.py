@@ -74,3 +74,45 @@ def chunk_spans(extracted: DataFrame) -> DataFrame:
         F.coalesce("p1_head", "p2_head").alias("heading"),
         F.col("text").alias("chunk_text"),
     )
+
+
+def pack_chunks(chunks: DataFrame, budget_tokens: int = 64) -> DataFrame:
+    """Token-aware packing (HybridChunker analog: reference re-exports a
+    tokenizer-budget chunk merger, docling/chunking/__init__.py:7-13).
+
+    Consecutive chunks of a document are grouped into packs by cumulative
+    whitespace-token count: pack_id = floor((cumsum - 1) / budget). One
+    window cumsum + one groupBy — no Python, deterministic, and the pack
+    boundary rule is engine-independent (value-oracle-able)."""
+    from pyspark.sql.window import Window
+
+    toks = F.size(F.split(F.col("chunk_text"), " "))
+    w = (
+        Window.partitionBy("url")
+        .orderBy("span_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_pack = (
+        chunks.withColumn("n_tokens", toks)
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "pack_id",
+            F.floor((F.col("cum") - 1) / F.lit(budget_tokens)).cast("int"),
+        )
+    )
+    return (
+        with_pack.groupBy("url", "pack_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "chunk_text"))
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("packed_text"),
+        )
+    )
