@@ -186,3 +186,32 @@ def test_rotated_page_extracts_upright(deg):
     r = extract_pdf_text(_rotate_pdf(base, deg))
     assert r.status == "success"
     assert r.text == expected
+
+
+# ------------------------------------------------- golden word coverage
+# The reference's PDF .md goldens come from its NN pipeline (layout labels,
+# TableFormer) — structural parity is out of contract (SURVEY §2.4), but the
+# deterministic text layer should still recover nearly all golden CONTENT.
+GT = PDF_DIR.parent / "groundtruth" / "docling_v2"
+COVERAGE_FLOORS = {
+    "2305.03393v1-pg9": 0.98,
+    "multi_page": 0.99,
+    "code_and_formula": 0.99,
+    "picture_classification": 0.99,
+    "amt_handbook_sample": 0.99,
+    "redp5110_sampled": 0.90,  # one page is image-only → needs_ocr
+}
+
+
+@pytest.mark.parametrize("stem", sorted(COVERAGE_FLOORS), ids=str)
+def test_golden_word_coverage(stem: str):
+    import collections
+    import re
+
+    gold_words = collections.Counter(
+        re.findall(r"[A-Za-z0-9]+", (GT / f"{stem}.md").read_text())
+    )
+    ours = extract_pdf_text((PDF_DIR / f"{stem}.pdf").read_bytes()).text or ""
+    our_words = set(re.findall(r"[A-Za-z0-9]+", ours))
+    covered = sum(c for w, c in gold_words.items() if w in our_words)
+    assert covered / sum(gold_words.values()) >= COVERAGE_FLOORS[stem]
