@@ -51,22 +51,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entry.queries()
-    # warm the JVM + parquet footers + Python UDF workers once so per-query
-    # numbers measure the plans, not session/worker cold start (which
-    # amortizes to zero on a long-running cluster job)
+    # warm the JVM + parquet footers + Python UDF workers (including the
+    # extraction-module imports inside each worker) once so per-query numbers
+    # measure the plans, not session/worker cold start — which amortizes to
+    # zero on a long-running cluster job
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
-    import pandas as _pd
+    from docling_spark.job import extract_pages
+    from docling_spark.ops.corpus import synth_pages
 
-    def _noop(batches):
-        for b in batches:
-            yield b
-
-    (
-        spark.range(int(CPUS) * 4)
-        .repartition(int(CPUS))
-        .mapInPandas(_noop, schema="id long")
-        .count()
-    )
+    warm = synth_pages(spark, SF_DIR).limit(int(CPUS) * 8)
+    extract_pages(warm).count()
 
     timings: dict[str, float] = {}
     n_docs = 0
