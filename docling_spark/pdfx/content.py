@@ -168,6 +168,13 @@ class TextInterpreter:
                     adv += word_sp
                 adv *= hscale
                 if u:
+                    if len(u) > 1 and any("֐" <= c <= "ࣿ" or "יִ" <= c <= "ﻼ" for c in u):
+                        # a single glyph expanding to several RTL codepoints
+                        # (lam-alef ligature): ToUnicode stores them in
+                        # LOGICAL order, but the stream is VISUAL — reverse
+                        # here so the line is uniformly visual-order and the
+                        # bidi pass in layout.py restores everything at once
+                        u = u[::-1]
                     chars.append(u)
                 adv_total += adv
             # advance text matrix

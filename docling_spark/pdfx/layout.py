@@ -41,6 +41,34 @@ class Cell:
         return self.b - self.t
 
 
+# ------------------------------------------------------------------- bidi
+def _is_rtl_char(c: str) -> bool:
+    return "֐" <= c <= "ࣿ" or "יִ" <= c <= "ﻼ"
+
+
+_LTR_RUN = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%+\-]*[A-Za-z0-9]|[A-Za-z0-9]")
+
+
+def visual_to_logical(line: str) -> str:
+    """Simplified bidi inversion for RTL-dominant lines.
+
+    PDF content streams store glyphs in VISUAL order (left-to-right as
+    drawn); readers reorder to logical order (pdfium does full UBA). For an
+    RTL-dominant line the visual string is the logical string reversed with
+    embedded LTR tokens kept intact — so the inverse is: reverse the whole
+    line, then un-reverse each maximal LTR (latin/digit) segment. Neutral
+    punctuation between LTR tokens travels with them; full UBA edge cases
+    (nested embeddings, mirrored brackets) are out of scope."""
+    rtl = sum(1 for c in line if _is_rtl_char(c))
+    if rtl == 0:
+        return line
+    ltr = sum(1 for c in line if c.isascii() and c.isalnum())
+    if rtl <= ltr:
+        return line
+    rev = line[::-1]
+    return _LTR_RUN.sub(lambda m: m.group()[::-1], rev)
+
+
 # ------------------------------------------------------------------ lines
 def _runs_to_lines(runs: list[Run], page_height: float) -> list[Cell]:
     """Group raw show-op runs into baseline lines (one Cell per line)."""
@@ -96,6 +124,7 @@ def _runs_to_lines(runs: list[Run], page_height: float) -> list[Cell]:
         text = re.sub(r" {2,}", " ", "".join(parts)).strip()
         if not text:
             continue
+        text = visual_to_logical(text)
         out.append(Cell(len(out), text, l, base - size * 0.85, r_, base + size * 0.15))
     return out
 

@@ -215,3 +215,21 @@ def test_golden_word_coverage(stem: str):
     our_words = set(re.findall(r"[A-Za-z0-9]+", ours))
     covered = sum(c for w, c in gold_words.items() if w in our_words)
     assert covered / sum(gold_words.values()) >= COVERAGE_FLOORS[stem]
+
+
+# RTL: visual→logical bidi inversion (golden md is logical-order; the
+# residual gap on 02 exists in the golden itself — non-standard font enc)
+RTL_FLOORS = {"right_to_left_01": 0.95, "right_to_left_02": 0.80, "right_to_left_03": 0.95}
+
+
+@pytest.mark.parametrize("stem", sorted(RTL_FLOORS), ids=str)
+def test_rtl_logical_order_coverage(stem: str):
+    import collections
+    import re
+
+    gold = collections.Counter(
+        re.findall(r"\w+", (GT / f"{stem}.md").read_text(), re.UNICODE)
+    )
+    ours = extract_pdf_text((PDF_DIR / f"{stem}.pdf").read_bytes()).text or ""
+    ow = set(re.findall(r"\w+", ours, re.UNICODE))
+    assert sum(c for w, c in gold.items() if w in ow) / sum(gold.values()) >= RTL_FLOORS[stem]
