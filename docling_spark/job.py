@@ -26,11 +26,10 @@ Scale design notes
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass
 from datetime import datetime, timezone
-from typing import Iterable, Iterator, Optional
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from typing import Iterator, Optional
 
 from .fonts import Font, load_fonts
-from .parser import Lexer, Name, PdfPage, Ref, Stream
+from .parser import Lexer, PdfPage, Stream
 
 Matrix = tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1, 0, 0, 1, 0, 0)

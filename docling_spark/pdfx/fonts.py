@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from typing import Optional
 
-from .parser import Name, PdfDocument, Ref, Stream
+from .parser import Name, PdfDocument, Stream
 
 # Glyph names beyond what cp1252/mac-roman round-trips give us; the long tail
 # (Greek, math, dingbats) resolves via uniXXXX or falls back to empty.

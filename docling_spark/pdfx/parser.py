@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 import zlib
-from typing import Any, Iterator, Optional
+from typing import Any, Optional
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"

@@ -8,7 +8,6 @@ output contract here is re-derived from the frozen golden files
 
 from __future__ import annotations
 
-import re
 from typing import Iterable, Optional
 
 from .model import BODY, Item, SpanDoc

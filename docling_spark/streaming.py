@@ -15,7 +15,6 @@ complementing the batch runner's lineage table.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
