@@ -145,6 +145,27 @@ def q_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconstruction fidelity: cell grid values + header flags pulled
+    from the DoclingDocument JSON, value-checked against the synth template."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none", with_doc_json=True)
+    j = F.col("doc_json")
+    return out.select(
+        "url",
+        F.get_json_object(j, "$.tables[0].data.num_rows").cast("int").alias("num_rows"),
+        F.get_json_object(j, "$.tables[0].data.num_cols").cast("int").alias("num_cols"),
+        F.get_json_object(j, "$.tables[0].data.grid[0][0].text").alias("c00"),
+        F.get_json_object(j, "$.tables[0].data.grid[0][1].text").alias("c01"),
+        F.get_json_object(j, "$.tables[0].data.grid[1][0].text").alias("c10"),
+        F.get_json_object(j, "$.tables[0].data.grid[1][1].text").alias("c11"),
+        F.get_json_object(j, "$.tables[0].data.grid[0][0].column_header")
+        .cast("boolean").alias("h00"),
+        F.get_json_object(j, "$.tables[0].data.grid[1][0].column_header")
+        .cast("boolean").alias("h10"),
+    )
+
+
 def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC source round-trip: each page wrapped in a WARC response record
     (gzip member), parsed back through the WARC reader, then extracted —
@@ -398,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
         "doc_json": q_doc_json,
+        "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
         "chunk_pack": q_chunk_pack,
@@ -577,6 +599,15 @@ def oracle_sql() -> dict[str, str]:
                    6 AS n_texts,
                    1 AS n_tables,
                    1 AS n_groups
+            FROM documents
+        """,
+        "table_cells": f"""
+            SELECT {synth_url} AS url,
+                   2 AS num_rows, 2 AS num_cols,
+                   'K' AS c00, 'V' AS c01,
+                   'k' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS c10,
+                   'v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS c11,
+                   TRUE AS h00, FALSE AS h10
             FROM documents
         """,
         "warc_extract": f"""
