@@ -19,7 +19,61 @@ import json
 import sys
 
 
+def convert_main(argv: list[str]) -> int:
+    """Reference-CLI parity (`docling <sources> --to md --output dir`,
+    /root/reference/docling/cli/main.py:307): convert local files through
+    the same extraction cores, no Spark session needed."""
+    p = argparse.ArgumentParser(prog="docling_spark convert")
+    p.add_argument("sources", nargs="+", help="html/pdf files")
+    p.add_argument("--to", default="md", help="comma list of md,itxt,json,text")
+    p.add_argument("--output", default=".", help="output directory")
+    args = p.parse_args(argv)
+
+    from pathlib import Path
+
+    from .htmlx.extract import extract_html
+    from .pdfx.extract import extract_pdf_text
+    from .serialize import to_itxt, to_markdown
+    from .serialize_json import to_docling_json
+
+    formats = [f.strip() for f in args.to.split(",") if f.strip()]
+    outdir = Path(args.output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    failures = 0
+    for src in args.sources:
+        path = Path(src)
+        raw = path.read_bytes()
+        try:
+            if raw[:5] == b"%PDF-" or path.suffix.lower() == ".pdf":
+                res = extract_pdf_text(raw)
+                if res.status in ("failure",):
+                    raise RuntimeError(res.error or res.status)
+                outputs = {"md": res.text, "text": res.text, "itxt": None, "json": None}
+            else:
+                doc = extract_html(raw, base_uri="None", name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(doc, path.name, raw),
+                }
+        except Exception as e:  # noqa: BLE001 — per-file containment
+            print(f"FAILED {path.name}: {e}", file=sys.stderr)
+            failures += 1
+            continue
+        ext_map = {"md": ".md", "itxt": ".itxt", "json": ".json", "text": ".txt"}
+        for fmt in formats:
+            content = outputs.get(fmt)
+            if content is not None:
+                (outdir / (path.stem + ext_map.get(fmt, f".{fmt}"))).write_text(content)
+        print(f"converted {path.name}")
+    return 1 if failures else 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "convert":
+        return convert_main(argv[1:])
     p = argparse.ArgumentParser(prog="docling_spark")
     p.add_argument("--input", required=True, help="pages table path (parquet/iceberg)")
     p.add_argument("--output", required=True, help="output root (data/ + lineage/)")

@@ -78,3 +78,23 @@ def test_sniff_prefers_magic_over_extension(spark):
     )
     ct = with_content_type(pdf_named_html).select("content_type").first()[0]
     assert ct == "pdf"  # %PDF- magic wins over .html extension
+
+
+def test_convert_cli(tmp_path):
+    """Reference-CLI parity: `python -m docling_spark convert`."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "-m", "docling_spark", "convert",
+         "/root/reference/tests/data/html/example_01.html",
+         "--to", "md,json", "--output", str(tmp_path)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    md = (tmp_path / "example_01.md").read_text()
+    golden = open(
+        "/root/reference/tests/data/groundtruth/docling_v2/example_01.html.md"
+    ).read()
+    assert md == golden
+    assert (tmp_path / "example_01.json").exists()
