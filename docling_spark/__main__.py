@@ -49,6 +49,16 @@ def convert_main(argv: list[str]) -> int:
                 if res.status in ("failure",):
                     raise RuntimeError(res.error or res.status)
                 outputs = {"md": res.text, "text": res.text, "itxt": None, "json": None}
+            elif path.suffix.lower() == ".csv":
+                from .csvx import extract_csv
+
+                doc = extract_csv(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(doc, path.name, raw, mimetype="text/csv"),
+                }
             else:
                 doc = extract_html(raw, base_uri="None", name=path.stem)
                 outputs = {

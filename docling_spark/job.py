@@ -61,6 +61,7 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         F.when(F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"), "pdf")
         .when(ext.isin("html", "htm", "xhtml"), "html")
         .when(ext == "pdf", "pdf")
+        .when(ext == "csv", "csv")
         .when(head.rlike(_HTML_SNIFF_RE), "html")
         .otherwise("other"),
     )
@@ -144,6 +145,29 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 from .serialize_json import to_docling_json
 
                 doc_json = to_docling_json(doc, filename, bytes(blob))
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "csv":
+            from .csvx import extract_csv
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_csv(bytes(blob), name=filename.rsplit(".", 1)[0])
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="text/csv"
+                )
             out.update(
                 status="success",
                 extracted_text=md,

@@ -269,17 +269,28 @@ def _github_table(grid: list[list[str]]) -> str:
             pad = (most - cur) if cur >= 0 else (most + 1 if most >= 0 else 0)
             body[r][c] = body[r][c] + " " * pad
 
+    def _visible_width(s: str) -> int:
+        # wcswidth returns -1 for strings containing nonprintable chars
+        return -1 if any(ord(ch) < 32 for ch in s) else len(s)
+
     widths = []
     for c in range(ncols):
         w = len(headers[c]) + 2  # MIN_PADDING on headers
         for r in range(len(body)):
-            w = max(w, len(body[r][c]))
+            if _visible_width(body[r][c]) >= 0:
+                w = max(w, len(body[r][c]))
         widths.append(w)
 
     def align(s: str, c: int) -> str:
+        # wcswidth semantics (observed from the reference csv-tab golden):
+        # a cell containing a control char has visible width -1, so it drops
+        # out of the column-width max and gets padded to width-(-1) chars
+        pad = widths[c] - _visible_width(s)
+        if pad <= 0:
+            return s
         if col_type[c] in ("int", "float"):
-            return s.rjust(widths[c])
-        return s.ljust(widths[c])
+            return " " * pad + s
+        return s + " " * pad
 
     lines = [
         "| " + " | ".join(align(headers[c], c) for c in range(ncols)) + " |",

@@ -45,7 +45,8 @@ def _fmt_dict(f: Optional[Formatting]) -> dict:
     }
 
 
-def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes) -> dict:
+def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
+                    mimetype: str = "text/html") -> dict:
     # ---- positional assignment per kind (insertion order) ----
     pos: dict[int, tuple[str, int]] = {}
     counters = {v: 0 for v in _ARRAY_OF_KIND.values()}
@@ -76,7 +77,7 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes) -> dict:
         "version": VERSION,
         "name": doc.name,
         "origin": {
-            "mimetype": "text/html",
+            "mimetype": mimetype,
             "binary_hash": binary_hash_of(raw),
             "filename": filename,
         },
@@ -214,9 +215,10 @@ def _empty_cell(r: int, col: int) -> dict:
     }
 
 
-def to_docling_json(doc: SpanDoc, filename: str, raw: bytes) -> str:
+def to_docling_json(doc: SpanDoc, filename: str, raw: bytes,
+                    mimetype: str = "text/html") -> str:
     import json
 
     return json.dumps(
-        to_docling_dict(doc, filename, raw), indent=2, ensure_ascii=False
+        to_docling_dict(doc, filename, raw, mimetype), indent=2, ensure_ascii=False
     )
