@@ -62,6 +62,10 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(ext.isin("html", "htm", "xhtml"), "html")
         .when(ext == "pdf", "pdf")
         .when(ext == "csv", "csv")
+        .when(
+            head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
+            "docling_json",
+        )
         .when(head.rlike(_HTML_SNIFF_RE), "html")
         .otherwise("other"),
     )
@@ -153,6 +157,20 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 n_items=len(doc.items),
                 n_chars=len(md),
                 doc_json=doc_json,
+            )
+        elif content_type == "docling_json":
+            from .jsonx import parse_docling_json
+            from .serialize import to_itxt, to_markdown
+
+            doc = parse_docling_json(bytes(blob))
+            md = to_markdown(doc)
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
             )
         elif content_type == "csv":
             from .csvx import extract_csv
