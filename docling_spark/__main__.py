@@ -49,6 +49,16 @@ def convert_main(argv: list[str]) -> int:
                 if res.status in ("failure",):
                     raise RuntimeError(res.error or res.status)
                 outputs = {"md": res.text, "text": res.text, "itxt": None, "json": None}
+            elif raw[:6] == b"WEBVTT" or path.suffix.lower() == ".vtt":
+                from .vttx import extract_vtt
+
+                doc = extract_vtt(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(doc, path.name, raw, mimetype="text/vtt"),
+                }
             elif path.suffix.lower() == ".csv":
                 from .csvx import extract_csv
 

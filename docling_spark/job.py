@@ -62,6 +62,8 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(ext.isin("html", "htm", "xhtml"), "html")
         .when(ext == "pdf", "pdf")
         .when(ext == "csv", "csv")
+        .when(F.substring(F.col("html"), 1, 6) == F.lit(b"WEBVTT"), "vtt")
+        .when(ext == "vtt", "vtt")
         .when(
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
             "docling_json",
@@ -157,6 +159,21 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 n_items=len(doc.items),
                 n_chars=len(md),
                 doc_json=doc_json,
+            )
+        elif content_type == "vtt":
+            from .serialize import to_itxt, to_markdown
+            from .vttx import extract_vtt
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_vtt(bytes(blob), name=filename.rsplit(".", 1)[0])
+            md = to_markdown(doc)
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
             )
         elif content_type == "docling_json":
             from .jsonx import parse_docling_json

@@ -122,7 +122,10 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
                 t["footnotes"] = []
                 t["code_language"] = "unknown"
             else:
-                if it.formatting is not None and it.formatting.any():
+                # emitted whenever the builder attached a Formatting object,
+                # even all-default (the VTT backend always does; HTML only
+                # attaches non-default ones) — matches golden behavior
+                if it.formatting is not None:
                     t["formatting"] = _fmt_dict(it.formatting)
                 if it.hyperlink is not None:
                     t["hyperlink"] = str(it.hyperlink)
