@@ -69,12 +69,13 @@ def q_doc_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_size_limits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Input validation: oversize routing (reference max_file_size analog)."""
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
-        F.when(F.col("n_chars") > 300, "oversize").otherwise("ok").alias("size_class"),
-    )
+    """Input validation: the job's REAL max_bytes oversize routing — the
+    gate exercises extract_pages(max_bytes=...) end-to-end (reference
+    max_file_size analog, document.py:152-192): oversize rows are routed to
+    content_type='oversize' / status='skipped', the rest extract normally."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none", max_bytes=500)
+    return out.select("url", "content_type", "status")
 
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +199,9 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF branch span model: title block + one paragraph span per doc."""
+    """PDF branch span model: structural labels from the font-geometry
+    heuristics (pdfx/structure.py) — the 18pt title block becomes a level-1
+    section_header and the body paragraph parents under it."""
     from docling_spark.ops.corpus import synth_pages_pdf
 
     pages = synth_pages_pdf(spark, sf_dir)
@@ -207,9 +210,45 @@ def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "url",
         F.col("s.idx").alias("idx"),
+        F.col("s.parent").alias("parent"),
         F.col("s.text").alias("text"),
         F.col("s.label").alias("label"),
+        F.col("s.level").alias("level"),
     )
+
+
+def q_pdf_struct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PDF structural labeler: heading hierarchy (18pt→L1, 14pt→L2),
+    bullet list items with markers, a 2×2 grid-detected TableItem, and the
+    body paragraph — all labeled + parented deterministically."""
+    from docling_spark.ops.corpus import synth_pages_pdf_structured
+
+    pages = synth_pages_pdf_structured(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    s = out.select("url", F.explode("spans").alias("s"))
+    return s.select(
+        "url",
+        F.col("s.idx").alias("idx"),
+        F.col("s.parent").alias("parent"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.label").alias("label"),
+        F.col("s.level").alias("level"),
+        F.col("s.marker").alias("marker"),
+        F.col("s.num_rows").alias("num_rows"),
+        F.col("s.num_cols").alias("num_cols"),
+        F.col("s.text").alias("text"),
+    )
+
+
+def q_pdf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical chunker over STRUCTURED PDF rows: list items + body
+    text chunk under their section heading (was impossible with the round-1
+    flat span model)."""
+    from docling_spark.ops.chunker import chunk_spans
+    from docling_spark.ops.corpus import synth_pages_pdf_structured
+
+    pages = synth_pages_pdf_structured(spark, sf_dir)
+    return chunk_spans(extract_pages(pages, base_uri_mode="none"))
 
 
 def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,8 +373,10 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSH-bucketed scale path (candidates only — no SQL oracle by design)
-    return ann.bucketed_candidates(_emb(spark, sf_dir), n_planes=8)
+    """LSH-bucketed candidate generation (the scale path). dim passed
+    statically — no driver-side peek. Full value oracle: the hyperplane
+    signs are deterministic md5 parities, reproduced in DuckDB."""
+    return ann.bucketed_candidates(_emb(spark, sf_dir), n_planes=8, dim=64)
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
+        "pdf_struct_spans": q_pdf_struct_spans,
+        "pdf_chunks": q_pdf_chunks,
         "chunk_pack": q_chunk_pack,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
@@ -506,6 +549,35 @@ def _simhash_bits_sql(bits: int = 16) -> str:
     return _SIMHASH_SQL.format(bits=" || ".join(parts))
 
 
+def _lsh_bucket_sql(n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB reconstruction of ann.hyperplane_buckets: the ±1 hyperplane
+    weights are md5 parities (deterministic), precomputed here and inlined
+    as literal DOUBLE[] lists; bucket bit p = sign of the signed sum."""
+    import hashlib
+
+    bits = []
+    for p in range(n_planes):
+        signs = [
+            "1.0"
+            if int(
+                hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[0], 16
+            ) % 2 == 0
+            else "-1.0"
+            for i in range(dim)
+        ]
+        arr = "[" + ", ".join(signs) + "]"
+        bits.append(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"CAST({arr} AS DOUBLE[])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    return f"""
+        WITH b AS (SELECT vec_id, {bucket} AS bucket FROM embeddings)
+        SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    """
+
+
 _STOP_HITS = " + ".join(
     "CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', '')))"
     " / {n} AS BIGINT)".format(w=w, n=len(w) + 2)
@@ -552,9 +624,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT {synth_url} AS url, 'html' AS content_type FROM documents
         """,
         "doc_hash": "SELECT doc_id, sha256(text) AS doc_hash FROM documents",
-        "size_limits": """
-            SELECT doc_id,
-                   CASE WHEN n_chars > 300 THEN 'oversize' ELSE 'ok' END AS size_class
+        "size_limits": f"""
+            SELECT {synth_url} AS url,
+                   CASE WHEN octet_length(encode({synth_html})) > 500
+                        THEN 'oversize' ELSE 'html' END AS content_type,
+                   CASE WHEN octet_length(encode({synth_html})) > 500
+                        THEN 'skipped' ELSE 'success' END AS status
             FROM documents
         """,
         "spans_export": f"""
@@ -619,12 +694,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pdf_spans": """
             SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,
-                   0 AS idx, 'Document ' || doc_id AS text, 'text' AS label
+                   0 AS idx, -1 AS parent, 'Document ' || doc_id AS text,
+                   'section_header' AS label, 1 AS level
             FROM documents
             UNION ALL
             SELECT 'https://synth.test/doc/' || doc_id || '.pdf',
-                   1, text, 'text'
+                   1, 0, text, 'text', NULL
             FROM documents
+        """,
+        "pdf_struct_spans": """
+            WITH rows(idx, parent, kind, label, level, marker,
+                      num_rows, num_cols, tkind) AS (VALUES
+              (0, -1, 'text',  'section_header', 1,    NULL, NULL, NULL, 'doc'),
+              (1,  0, 'text',  'section_header', 2,    NULL, NULL, NULL, 'sec'),
+              (2,  1, 'text',  'list_item',      NULL, '-',  NULL, NULL, 'w1'),
+              (3,  1, 'text',  'list_item',      NULL, '-',  NULL, NULL, 'w2'),
+              (4,  1, 'text',  'list_item',      NULL, '-',  NULL, NULL, 'w3'),
+              (5,  1, 'table', 'table',          NULL, NULL, 2,    2,    'tbl'),
+              (6,  1, 'text',  'text',           NULL, NULL, NULL, NULL, 'body'))
+            SELECT 'https://synth.test/doc/' || d.doc_id || '-struct.pdf' AS url,
+                   r.idx, r.parent, r.kind, r.label, r.level, r.marker,
+                   r.num_rows, r.num_cols,
+                   CASE r.tkind
+                     WHEN 'doc' THEN 'Document ' || d.doc_id
+                     WHEN 'sec' THEN 'Section ' || split_part(d.text, ' ', 1)
+                     WHEN 'w1'  THEN split_part(d.text, ' ', 1)
+                     WHEN 'w2'  THEN split_part(d.text, ' ', 2)
+                     WHEN 'w3'  THEN split_part(d.text, ' ', 3)
+                     WHEN 'tbl' THEN 'K V k' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0')
+                                  || ' v' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0')
+                     WHEN 'body' THEN d.text END AS text
+            FROM documents d CROSS JOIN rows r
+        """,
+        "pdf_chunks": """
+            WITH ch(span_idx, tkind) AS (VALUES
+              (2, 'w1'), (3, 'w2'), (4, 'w3'), (6, 'body'))
+            SELECT 'https://synth.test/doc/' || d.doc_id || '-struct.pdf' AS url,
+                   c.span_idx,
+                   'Section ' || split_part(d.text, ' ', 1) AS heading,
+                   CASE c.tkind
+                     WHEN 'w1' THEN split_part(d.text, ' ', 1)
+                     WHEN 'w2' THEN split_part(d.text, ' ', 2)
+                     WHEN 'w3' THEN split_part(d.text, ' ', 3)
+                     WHEN 'body' THEN d.text END AS chunk_text
+            FROM documents d CROSS JOIN ch c
         """,
         "chunk_pack": f"""
             WITH chunks AS (
@@ -729,10 +842,14 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": f"""
             {_DUPS_CTE},
             base AS (SELECT * FROM docs2 WHERE doc_id < 40 OR doc_id >= 100000),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
               FROM base d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
             ),
+            -- document-frequency cap (mirrors jaccard_pairs max_doc_freq):
+            -- shingles in >1000 docs drop from join AND sizes
+            hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+            sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -882,5 +999,5 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
-        # embedding_dups_lsh: bucketed candidate generation — rows-only check
+        "embedding_dups_lsh": _lsh_bucket_sql(n_planes=8, dim=64),
     }

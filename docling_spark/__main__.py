@@ -59,6 +59,38 @@ def convert_main(argv: list[str]) -> int:
                     "itxt": to_itxt(doc, 70),
                     "json": to_docling_json(doc, path.name, raw, mimetype="text/vtt"),
                 }
+            elif path.suffix.lower() == ".docx" or (
+                raw[:2] == b"PK" and b"word/document.xml" in raw
+            ):
+                from .docxx import extract_docx
+
+                doc = extract_docx(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc,
+                        path.name,
+                        raw,
+                        mimetype=(
+                            "application/vnd.openxmlformats-officedocument."
+                            "wordprocessingml.document"
+                        ),
+                    ),
+                }
+            elif path.suffix.lower() in (".md", ".markdown"):
+                from .mdx import extract_markdown
+
+                doc = extract_markdown(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc, path.name, raw, mimetype="text/markdown"
+                    ),
+                }
             elif path.suffix.lower() == ".csv":
                 from .csvx import extract_csv
 

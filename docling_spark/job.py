@@ -64,6 +64,13 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(ext == "csv", "csv")
         .when(F.substring(F.col("html"), 1, 6) == F.lit(b"WEBVTT"), "vtt")
         .when(ext == "vtt", "vtt")
+        .when(ext.isin("md", "markdown"), "md")
+        .when(ext == "docx", "docx")
+        .when(
+            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            & F.contains(F.col("html"), F.lit(b"word/document.xml")),
+            "docx",
+        )
         .when(
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
             "docling_json",
@@ -166,7 +173,16 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
 
             filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
             doc = extract_vtt(bytes(blob), name=filename.rsplit(".", 1)[0])
-            md = to_markdown(doc)
+            # reference vtt goldens are exported with escape_html=False
+            # (tests/test_backend_vtt.py:220)
+            md = to_markdown(doc, escape_html=False)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="text/vtt"
+                )
             out.update(
                 status="success",
                 extracted_text=md,
@@ -174,6 +190,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 spans=_doc_to_spans(doc),
                 n_items=len(doc.items),
                 n_chars=len(md),
+                doc_json=doc_json,
             )
         elif content_type == "docling_json":
             from .jsonx import parse_docling_json
@@ -181,6 +198,14 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
 
             doc = parse_docling_json(bytes(blob))
             md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="application/json"
+                )
             out.update(
                 status="success",
                 extracted_text=md,
@@ -188,6 +213,63 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 spans=_doc_to_spans(doc),
                 n_items=len(doc.items),
                 n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "docx":
+            from .docxx import extract_docx
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_docx(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc,
+                    filename,
+                    bytes(blob),
+                    mimetype=(
+                        "application/vnd.openxmlformats-officedocument."
+                        "wordprocessingml.document"
+                    ),
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "md":
+            from .mdx import extract_markdown
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_markdown(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="text/markdown"
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
             )
         elif content_type == "csv":
             from .csvx import extract_csv
@@ -215,35 +297,16 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
         elif content_type == "pdf":
             from .pdfx.extract import extract_pdf_text
 
-            res = extract_pdf_text(bytes(blob))
-            # uniform span model across backends: one body text span per
-            # paragraph block (PDF has no heading/list labels without NN)
-            spans = None
-            if res.text:
-                blocks = [b for b in res.text.split("\n\n") if b]
-                spans = [
-                    {
-                        "idx": i,
-                        "parent": -1,
-                        "kind": "text",
-                        "label": "text",
-                        "name": None,
-                        "text": b,
-                        "level": None,
-                        "marker": None,
-                        "enumerated": None,
-                        "bold": None,
-                        "italic": None,
-                        "underline": None,
-                        "strikethrough": None,
-                        "script": None,
-                        "hyperlink": None,
-                        "content_layer": "body",
-                        "num_rows": None,
-                        "num_cols": None,
-                    }
-                    for i, b in enumerate(blocks)
-                ]
+            deadline = (
+                time.monotonic() + doc_timeout_s if doc_timeout_s else None
+            )
+            res = extract_pdf_text(
+                bytes(blob), deadline=deadline, with_structure=True
+            )
+            # structured span model: labeled heading/list/table/text blocks
+            # from font-geometry heuristics (pdfx/structure.py), parented so
+            # chunk_spans produces heading-scoped chunks for PDF rows too
+            spans = res.spans
             out.update(
                 status=res.status,
                 extracted_text=res.text,
@@ -300,14 +363,17 @@ def extract_pages(
     shuffle_partitions: Optional[int] = None,
     salt: int = 0,
     with_doc_json: bool = False,
+    doc_timeout_s: float = 60.0,
 ) -> DataFrame:
     """Logical plan for one extraction pass (no side effects).
 
-    The salted repartition (north rule: defuse skew from giant HTML blobs)
-    defaults to "auto": widen to the session's default parallelism when the
-    scan yields fewer partitions than cores (small local inputs); at real
-    scale the scan already has thousands of splits and auto is a no-op, so
-    no gratuitous full shuffle of the blobs happens on a cluster.
+    ``shuffle_partitions``: explicit salted-repartition width (north rule:
+    defuse skew from giant HTML blobs). ``None``/0 = trust the upstream
+    partitioning — at real scale the scan already has thousands of file
+    splits, so reshuffling multi-MB blobs here would be a gratuitous full
+    shuffle; small local inputs should widen UPSTREAM of blob synthesis
+    (see ops/corpus.synth_pages) or pass an explicit width. The runner
+    computes the width once per run, not once per chunk.
     """
     df = with_content_type(pages)
     df = df.withColumn("doc_hash", F.sha2(F.col("html"), 256))
@@ -315,18 +381,15 @@ def extract_pages(
     df = df.withColumn(
         "content_type", F.when(oversize, F.lit("oversize")).otherwise(F.col("content_type"))
     )
-    if shuffle_partitions is None:
-        try:
-            default_par = pages.sparkSession.sparkContext.defaultParallelism
-            if pages.rdd.getNumPartitions() < default_par:
-                shuffle_partitions = default_par
-        except Exception:
-            shuffle_partitions = None
     if shuffle_partitions:
         df = df.repartition(
             shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))
         )
-    udf = make_extract_udf(base_uri_mode=base_uri_mode, with_doc_json=with_doc_json)
+    udf = make_extract_udf(
+        base_uri_mode=base_uri_mode,
+        doc_timeout_s=doc_timeout_s,
+        with_doc_json=with_doc_json,
+    )
     cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
     return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)
 
@@ -384,6 +447,18 @@ class ExtractionRunner:
         pages = pages.withColumn(
             "_chunk", F.pmod(F.xxhash64("url"), F.lit(cfg.num_chunks))
         )
+        # decide the repartition width ONCE per run (not once per chunk — the
+        # RDD-lineage build behind getNumPartitions is driver-side work):
+        # widen small local inputs to the session parallelism; at real scale
+        # the scan has >= cores splits and no blob shuffle happens.
+        shuffle_partitions = cfg.shuffle_partitions
+        if shuffle_partitions is None:
+            try:
+                default_par = self.spark.sparkContext.defaultParallelism
+                if pages.rdd.getNumPartitions() < default_par:
+                    shuffle_partitions = default_par
+            except Exception:
+                shuffle_partitions = None
         done = self.committed_chunks()
         stats = {"chunks_total": cfg.num_chunks, "chunks_skipped": len(done)}
         for k in range(cfg.num_chunks):
@@ -395,7 +470,7 @@ class ExtractionRunner:
                 chunk,
                 base_uri_mode=cfg.base_uri_mode,
                 max_bytes=cfg.max_bytes,
-                shuffle_partitions=cfg.shuffle_partitions,
+                shuffle_partitions=shuffle_partitions,
                 salt=k,
             )
             path = f"{cfg.output_path}/data/run_id={cfg.run_id}/chunk_id={k}"

@@ -52,9 +52,20 @@ def _plane_sign(plane: int, dim: int):
     return F.when(val % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
-def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
-    """LSH bucket id per vector: sign pattern against n pseudo-hyperplanes."""
-    dims = embeddings.select(F.size("embedding").alias("d")).first().d
+def hyperplane_buckets(
+    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
+    """LSH bucket id per vector: sign pattern against n pseudo-hyperplanes.
+
+    Pass ``dim`` (the embedding dimensionality) explicitly — it is a static
+    property of the table, and reading it from data would cost a driver-side
+    job per call and silently assume uniform dims. The ``None`` fallback
+    (one-row peek) exists only for ad-hoc exploration."""
+    dims = (
+        dim
+        if dim is not None
+        else embeddings.select(F.size("embedding").alias("d")).first().d
+    )
     bits = []
     for p in range(n_planes):
         proj = None
@@ -74,9 +85,11 @@ def hyperplane_buckets(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
     )
 
 
-def bucketed_candidates(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
+def bucketed_candidates(
+    embeddings: DataFrame, n_planes: int = 8, dim: int | None = None
+) -> DataFrame:
     """Candidate near-neighbor pairs = same LSH bucket (the O(n²) killer)."""
-    b = hyperplane_buckets(embeddings, n_planes)
+    b = hyperplane_buckets(embeddings, n_planes, dim=dim)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(
@@ -93,10 +106,13 @@ def bucketed_candidates(embeddings: DataFrame, n_planes: int = 8) -> DataFrame:
 
 
 def embedding_cosine_dups(
-    embeddings: DataFrame, n_planes: int = 6, threshold: float = 0.95
+    embeddings: DataFrame,
+    n_planes: int = 6,
+    threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup detection: LSH candidates → exact cosine filter."""
-    cand = bucketed_candidates(embeddings, n_planes)
+    cand = bucketed_candidates(embeddings, n_planes, dim=dim)
     e_a = embeddings.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
     )

@@ -133,6 +133,12 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang"
     )
+    # same upstream-widening as synth_pages: shuffle the small source rows so
+    # blob assembly (and extraction downstream) runs on every core without
+    # extract_pages ever needing to reshuffle the built blobs
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -145,6 +151,112 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + pd.to_timedelta(b["doc_id"], unit="s"),
                     "html": [
                         synth_pdf_bytes(int(i), t)
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+# ------------------------------------------------- structured synthetic PDFs
+def synth_pdf_structured_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic one-page PDF exercising the full structural labeler
+    (pdfx/structure.py): 18pt title, 14pt section heading, a 3-item bullet
+    list, a 2×2 two-column table (column gap >> line height so the grid
+    detector sees separate cells), then the wrapped body paragraph. Every
+    block's label/level/parent and text are expressible in ANSI SQL."""
+
+    def esc(s: str) -> str:
+        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    words = text.split(" ")
+    w1 = words[0] if words else "w"
+    w2 = words[1] if len(words) > 1 else w1
+    w3 = words[2] if len(words) > 2 else w1
+    kv = f"{doc_id % 100:02d}"
+
+    lines: list[str] = []
+    cur: list[str] = []
+    for w in words:
+        if cur and len(" ".join(cur + [w])) > 60:
+            lines.append(" ".join(cur))
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
+        lines.append(" ".join(cur))
+
+    ops = [
+        f"BT /F1 18 Tf 72 720 Td ({esc(f'Document {doc_id}')}) Tj ET",
+        f"BT /F1 14 Tf 72 670 Td ({esc(f'Section {w1}')}) Tj ET",
+        f"BT /F1 11 Tf 72 630 Td ({esc(f'- {w1}')}) Tj ET",
+        f"BT /F1 11 Tf 72 617 Td ({esc(f'- {w2}')}) Tj ET",
+        f"BT /F1 11 Tf 72 604 Td ({esc(f'- {w3}')}) Tj ET",
+        f"BT /F1 11 Tf 72 560 Td (K) Tj ET",
+        f"BT /F1 11 Tf 172 560 Td (V) Tj ET",
+        f"BT /F1 11 Tf 72 547 Td ({esc('k' + kv)}) Tj ET",
+        f"BT /F1 11 Tf 172 547 Td ({esc('v' + kv)}) Tj ET",
+    ]
+    y = 500
+    for ln in lines:
+        ops.append(f"BT /F1 11 Tf 72 {y} Td ({esc(ln)}) Tj ET")
+        y -= 13
+    content = "\n".join(ops).encode("ascii")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synth_pages_pdf_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages table of structured PDF blobs."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/doc/{i}-struct.pdf"
+                        for i in b["doc_id"]
+                    ],
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.to_timedelta(b["doc_id"], unit="s"),
+                    "html": [
+                        synth_pdf_structured_bytes(int(i), t)
                         for i, t in zip(b["doc_id"], b["text"])
                     ],
                     "text": b["text"],

@@ -86,13 +86,29 @@ def lsh_candidate_pairs(
     )
 
 
-def jaccard_pairs(docs: DataFrame, k: int = 8, threshold: float = 0.8) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.8, max_doc_freq: int = 1000
+) -> DataFrame:
     """Exact n-gram Jaccard over shingle sets (the verifier for LSH recall).
 
     All-pairs via shingle-inverted-index join — the standard
     'explode and join on token' shape; at scale the LSH variant prefilters.
+
+    ``max_doc_freq`` caps the inverted index: shingles appearing in more
+    than this many documents are dropped from BOTH the join and the set
+    sizes (consistent capped-Jaccard semantics). Without the cap, one
+    high-document-frequency shingle (a common 8-gram) creates a quadratic
+    hot join key; with it, the operator degrades gracefully if pointed at
+    real data instead of the capped oracle corpus.
     """
     sh = docs.select("doc_id", F.explode(_shingles(k)).alias("sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

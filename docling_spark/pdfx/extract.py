@@ -16,11 +16,23 @@ class PdfResult:
     status: str
     text: Optional[str] = None
     error: Optional[str] = None
-    pages: Optional[list] = None  # per-page cell lists
+    pages: Optional[list] = None  # per-page cell counts
+    spans: Optional[list] = None  # structured labeled spans (with_structure)
 
 
-def extract_pdf_text(blob: bytes) -> PdfResult:
-    """bytes → reading-ordered text. Never raises."""
+def extract_pdf_text(
+    blob: bytes,
+    deadline: Optional[float] = None,
+    with_structure: bool = False,
+) -> PdfResult:
+    """bytes → reading-ordered text. Never raises.
+
+    ``deadline`` (a ``time.monotonic()`` instant) is the per-document
+    wall-clock guard: checked before each page, mirroring the reference's
+    in-loop timeout (/root/reference/docling/pipeline/base_pipeline.py:254-262)
+    — a pathological page stops the document, not the Spark task."""
+    import time
+
     try:
         from .parser import PdfDocument
         from .layout import page_cells_to_text
@@ -31,18 +43,47 @@ def extract_pdf_text(blob: bytes) -> PdfResult:
         page_texts = []
         needs_ocr_pages = 0
         pages_meta = []
+        pages_cells = []
+        timed_out = False
         for page in pdf.pages():
+            if deadline is not None and time.monotonic() > deadline:
+                timed_out = True
+                break
             cells = page.text_cells()
             pages_meta.append(len(cells))
             if not cells:
                 needs_ocr_pages += 1
                 continue
+            if with_structure:
+                pages_cells.append(cells)
             page_texts.append(page_cells_to_text(cells))
+        if timed_out:
+            if not page_texts:
+                return PdfResult(
+                    status="failure",
+                    error=f"document timeout after {len(pages_meta)} pages",
+                )
+            return PdfResult(
+                status="partial_success",
+                text="\n\n".join(page_texts),
+                error=f"document timeout after {len(pages_meta)} pages",
+                pages=pages_meta,
+            )
         if not pages_meta:
             return PdfResult(status="failure", error="no pages found")
         if needs_ocr_pages == len(pages_meta):
             return PdfResult(status="needs_ocr", text="", pages=pages_meta)
         status = "partial_success" if needs_ocr_pages else "success"
-        return PdfResult(status=status, text="\n\n".join(page_texts), pages=pages_meta)
+        spans = None
+        if with_structure and pages_cells:
+            from .structure import doc_structured_spans
+
+            spans = doc_structured_spans(pages_cells)
+        return PdfResult(
+            status=status,
+            text="\n\n".join(page_texts),
+            pages=pages_meta,
+            spans=spans,
+        )
     except Exception as e:  # noqa: BLE001
         return PdfResult(status="failure", error=f"{type(e).__name__}: {e}"[:500])

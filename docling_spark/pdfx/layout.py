@@ -107,25 +107,45 @@ def _runs_to_lines(runs: list[Run], page_height: float) -> list[Cell]:
     out: list[Cell] = []
     for ln in lines:
         ln.sort(key=lambda it: it[1])
-        parts: list[str] = []
-        prev_x1 = None
-        l = min(it[1] for it in ln)
-        r_ = max(it[2] for it in ln)
         base = sum(it[0] for it in ln) / len(ln)
         size = max(it[3].size for it in ln) or 10.0
-        for _, x0, x1, run, _ in ln:
-            txt = run.text
-            if prev_x1 is not None:
-                gap = x0 - prev_x1
-                if gap > size * 0.17 and parts and not parts[-1].endswith(" ") and not txt.startswith(" "):
-                    parts.append(" ")
-            parts.append(txt)
+        # split a baseline into segments at column-scale gaps (> 1 line
+        # height — the same threshold the pdfium-style horizontal merge
+        # uses), so multi-column rows stay separate cells and the grid
+        # detector (structure._try_table) can see table columns; word-scale
+        # gaps (0.17–1.0 × size) become single spaces as before
+        segments: list[list] = []
+        cur_seg: list = []
+        prev_x1 = None
+        for it in ln:
+            _, x0, x1, run, _ = it
+            if prev_x1 is not None and x0 - prev_x1 > size * 1.0 and cur_seg:
+                segments.append(cur_seg)
+                cur_seg = []
+            cur_seg.append(it)
             prev_x1 = max(x1, prev_x1 if prev_x1 is not None else x1)
-        text = re.sub(r" {2,}", " ", "".join(parts)).strip()
-        if not text:
-            continue
-        text = visual_to_logical(text)
-        out.append(Cell(len(out), text, l, base - size * 0.85, r_, base + size * 0.15))
+        if cur_seg:
+            segments.append(cur_seg)
+        for seg in segments:
+            parts: list[str] = []
+            prev_x1 = None
+            l = min(it[1] for it in seg)
+            r_ = max(it[2] for it in seg)
+            for _, x0, x1, run, _ in seg:
+                txt = run.text
+                if prev_x1 is not None:
+                    gap = x0 - prev_x1
+                    if gap > size * 0.17 and parts and not parts[-1].endswith(" ") and not txt.startswith(" "):
+                        parts.append(" ")
+                parts.append(txt)
+                prev_x1 = max(x1, prev_x1 if prev_x1 is not None else x1)
+            text = re.sub(r" {2,}", " ", "".join(parts)).strip()
+            if not text:
+                continue
+            text = visual_to_logical(text)
+            out.append(
+                Cell(len(out), text, l, base - size * 0.85, r_, base + size * 0.15)
+            )
     return out
 
 
@@ -279,12 +299,13 @@ def sanitize_text(lines: list[str]) -> str:
     return s.strip()
 
 
-def page_cells_to_text(cells: list[Cell]) -> str:
-    """Cells → paragraphs: XY-cut order, group consecutive cells whose
-    vertical gap is within 1.6× line height, sanitize each group."""
+def paragraph_groups(cells: list[Cell]) -> list[list[Cell]]:
+    """XY-cut order, then group consecutive cells whose vertical gap is
+    within the line-height tolerance — the shared segmentation used by both
+    the text assembly and the structural labeler (one rule, two views)."""
     ordered = xycut_order(cells)
-    paras: list[list[str]] = []
-    cur: list[str] = []
+    paras: list[list[Cell]] = []
+    cur: list[Cell] = []
     prev: Cell | None = None
     for c in ordered:
         if prev is not None:
@@ -296,8 +317,16 @@ def page_cells_to_text(cells: list[Cell]) -> str:
             if not same_block:
                 paras.append(cur)
                 cur = []
-        cur.append(c.text)
+        cur.append(c)
         prev = c
     if cur:
         paras.append(cur)
-    return "\n\n".join(sanitize_text(p) for p in paras if p)
+    return [p for p in paras if p]
+
+
+def page_cells_to_text(cells: list[Cell]) -> str:
+    """Cells → paragraphs: XY-cut order, group consecutive cells whose
+    vertical gap is within 1.6× line height, sanitize each group."""
+    return "\n\n".join(
+        sanitize_text([c.text for c in p]) for p in paragraph_groups(cells)
+    )

@@ -338,7 +338,7 @@ class Lexer:
                     i += 3 if buf[i + 2 : i + 3] == b"\n" else 2
                 elif nxt == b"\n":
                     i += 2
-                elif nxt and nxt[0:1].isdigit():
+                elif nxt and nxt in b"01234567":
                     m = re.compile(rb"[0-7]{1,3}").match(buf, i + 1)
                     out.append(int(m.group(), 8) & 0xFF)
                     i = m.end()

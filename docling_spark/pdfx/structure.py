@@ -1,0 +1,256 @@
+"""Deterministic structural labeling of PDF paragraph groups.
+
+The reference labels PDF clusters with an NN layout model
+(/root/reference/docling/models/layout_model.py — out of contract) followed
+by deterministic postprocessing + reading order
+(/root/reference/docling/utils/layout_postprocessor.py,
+/root/reference/docling/models/readingorder_model.py:122-327).  This module
+replaces the NN with font-geometry heuristics over the SAME paragraph
+segmentation the text path uses (layout.paragraph_groups), so labeled spans
+always slice the identical text:
+
+- headings: a short block whose cells are materially larger than the
+  document's dominant (length-weighted mode) font size; heading LEVEL is the
+  rank of its size among the document's heading sizes (largest = 1);
+- list items: lines opening with a bullet glyph or an enumerator
+  (``• - * 1. 1) a.``), one list_item block per line, marker preserved;
+- tables: a block whose cells form a row/column grid (≥2 rows × ≥2 columns
+  with consistent per-row cell counts and aligned left edges) becomes a
+  TableItem-like block with the cell grid, matching the grid shape of
+  /root/reference/tests/verify_utils.py:163-201 (verify_table_v2).
+
+The emitted span list parents body blocks under their nearest heading, so
+the relational chunker (ops/chunker.chunk_spans) produces heading-scoped
+chunks for PDF rows exactly as it does for HTML rows.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Optional
+
+from .layout import Cell, paragraph_groups, sanitize_text
+
+_BULLET_RE = re.compile(r"^([•·◦▪‣–—-]|\*)\s+")
+_ENUM_RE = re.compile(r"^(\d{1,3}[.)])\s+")
+
+
+@dataclass
+class PdfBlock:
+    label: str  # title/section_header/text/list_item/table
+    text: str
+    level: int = 1
+    marker: str = ""
+    enumerated: bool = False
+    size: float = 0.0
+    grid: Optional[list[list[str]]] = None  # table rows (row-major)
+
+
+def _dominant_size(cells: list[Cell]) -> float:
+    """Length-weighted mode of cell heights (≈ font size), 0.5pt buckets."""
+    weights: Counter = Counter()
+    for c in cells:
+        bucket = round(c.height * 2) / 2
+        weights[bucket] += max(len(c.text), 1)
+    if not weights:
+        return 10.0
+    return max(weights.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+def _split_list_lines(group: list[Cell]) -> Optional[list[PdfBlock]]:
+    """If any line in the group opens with a list marker, emit one block per
+    line (marker lines → list_item, others → text)."""
+    if not any(_BULLET_RE.match(c.text) or _ENUM_RE.match(c.text) for c in group):
+        return None
+    blocks: list[PdfBlock] = []
+    for c in group:
+        bm = _BULLET_RE.match(c.text)
+        em = _ENUM_RE.match(c.text)
+        if bm:
+            blocks.append(
+                PdfBlock(
+                    "list_item",
+                    sanitize_text([c.text[bm.end() :]]),
+                    marker=bm.group(1),
+                    size=c.height,
+                )
+            )
+        elif em:
+            blocks.append(
+                PdfBlock(
+                    "list_item",
+                    sanitize_text([c.text[em.end() :]]),
+                    marker=em.group(1),
+                    enumerated=True,
+                    size=c.height,
+                )
+            )
+        else:
+            blocks.append(PdfBlock("text", sanitize_text([c.text]), size=c.height))
+    return blocks
+
+
+def find_table_regions(
+    cells: list[Cell],
+) -> tuple[list[tuple[float, list[list[Cell]]]], list[Cell]]:
+    """Page-wide grid detection BEFORE segmentation (XY-cut would slice a
+    table into columns): cluster cells into baseline rows, then take maximal
+    vertical runs of adjacent rows with an equal cell count ≥ 2, aligned
+    left edges, and short (table-like) cell texts. Returns
+    ([(top, grid_rows)], remaining_cells)."""
+    if len(cells) < 4:
+        return [], list(cells)
+    rows: list[list[Cell]] = []
+    for c in sorted(cells, key=lambda c: (c.t, c.l)):
+        if rows and abs(rows[-1][0].t - c.t) <= max(rows[-1][0].height, c.height) * 0.5:
+            rows[-1].append(c)
+        else:
+            rows.append([c])
+    for r in rows:
+        r.sort(key=lambda c: c.l)
+
+    def aligned(r1: list[Cell], r2: list[Cell]) -> bool:
+        if len(r1) != len(r2) or len(r1) < 2:
+            return False
+        tol = max(r1[0].height, r2[0].height) * 0.8
+        if any(abs(a.l - b.l) > tol for a, b in zip(r1, r2)):
+            return False
+        gap = r2[0].t - r1[0].b
+        if gap > max(r1[0].height, r2[0].height) * 1.0:
+            return False
+        # table cells are short; 2-column PARAGRAPH lines are long — this
+        # guard keeps multi-column body text out of the grid detector
+        return all(len(c.text) <= 40 for c in r1 + r2)
+
+    regions: list[tuple[float, list[list[Cell]]]] = []
+    used: set[int] = set()
+    i = 0
+    while i < len(rows):
+        j = i
+        while j + 1 < len(rows) and aligned(rows[j], rows[j + 1]):
+            j += 1
+        if j > i:
+            grid_rows = rows[i : j + 1]
+            regions.append((grid_rows[0][0].t, grid_rows))
+            for r in grid_rows:
+                for c in r:
+                    used.add(id(c))
+            i = j + 1
+        else:
+            i += 1
+    rest = [c for c in cells if id(c) not in used]
+    return regions, rest
+
+
+def page_blocks(cells: list[Cell], body_size: float) -> list[PdfBlock]:
+    """One page's cells → labeled blocks (same segmentation as the text,
+    except grid regions are lifted out before XY-cut)."""
+    regions, rest = find_table_regions(cells)
+    positioned: list[tuple[float, PdfBlock]] = []
+    for top, grid_rows in regions:
+        flat = [c.text for row in grid_rows for c in row]
+        positioned.append(
+            (
+                top,
+                PdfBlock(
+                    "table",
+                    sanitize_text(flat),
+                    size=grid_rows[0][0].height,
+                    grid=[[c.text for c in row] for row in grid_rows],
+                ),
+            )
+        )
+    for blk_top, blk in _labeled_groups(rest, body_size):
+        positioned.append((blk_top, blk))
+    positioned.sort(key=lambda p: p[0])
+    return [b for _, b in positioned]
+
+
+def _labeled_groups(
+    cells: list[Cell], body_size: float
+) -> list[tuple[float, PdfBlock]]:
+    out: list[tuple[float, PdfBlock]] = []
+    for group in paragraph_groups(cells):
+        top = min(c.t for c in group)
+        med = sorted(c.height for c in group)[len(group) // 2]
+        text = sanitize_text([c.text for c in group])
+        if (
+            med >= body_size * 1.2
+            and len(group) <= 2
+            and len(text) <= 120
+        ):
+            out.append((top, PdfBlock("section_header", text, size=med)))
+            continue
+        lst = _split_list_lines(group)
+        if lst is not None:
+            for off, b in enumerate(lst):
+                # preserve intra-group order with a tiny top offset
+                out.append((top + off * 1e-3, b))
+            continue
+        out.append((top, PdfBlock("text", text, size=med)))
+    return out
+
+
+def assign_heading_levels(blocks: list[PdfBlock]) -> None:
+    """Heading level = rank of its font size among heading sizes (desc)."""
+    sizes = sorted(
+        {round(b.size * 2) / 2 for b in blocks if b.label == "section_header"},
+        reverse=True,
+    )
+    rank = {s: min(i + 1, 6) for i, s in enumerate(sizes)}
+    for b in blocks:
+        if b.label == "section_header":
+            b.level = rank[round(b.size * 2) / 2]
+
+
+def blocks_to_spans(blocks: list[PdfBlock]) -> list[dict]:
+    """Labeled blocks → the flat span encoding (idx/parent), parenting body
+    blocks under the nearest preceding heading of any level and headings
+    under the nearest shallower heading — the shape chunk_spans consumes."""
+    spans: list[dict] = []
+    heading_stack: list[tuple[int, int]] = []  # (level, idx)
+    for b in blocks:
+        idx = len(spans)
+        if b.label == "section_header":
+            while heading_stack and heading_stack[-1][0] >= b.level:
+                heading_stack.pop()
+            parent = heading_stack[-1][1] if heading_stack else -1
+            heading_stack.append((b.level, idx))
+        else:
+            parent = heading_stack[-1][1] if heading_stack else -1
+        spans.append(
+            {
+                "idx": idx,
+                "parent": parent,
+                "kind": "table" if b.label == "table" else "text",
+                "label": b.label,
+                "name": None,
+                "text": b.text or None,
+                "level": b.level if b.label == "section_header" else None,
+                "marker": b.marker or None,
+                "enumerated": b.enumerated if b.label == "list_item" else None,
+                "bold": None,
+                "italic": None,
+                "underline": None,
+                "strikethrough": None,
+                "script": None,
+                "hyperlink": None,
+                "content_layer": "body",
+                "num_rows": len(b.grid) if b.grid else None,
+                "num_cols": len(b.grid[0]) if b.grid else None,
+            }
+        )
+    return spans
+
+
+def doc_structured_spans(pages_cells: list[list[Cell]]) -> list[dict]:
+    """All pages' cells → one labeled, heading-parented span list."""
+    all_cells = [c for page in pages_cells for c in page]
+    body = _dominant_size(all_cells)
+    blocks: list[PdfBlock] = []
+    for cells in pages_cells:
+        blocks.extend(page_blocks(cells, body))
+    assign_heading_levels(blocks)
+    return blocks_to_spans(blocks)

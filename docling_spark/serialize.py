@@ -16,17 +16,29 @@ DEFAULT_LAYERS = frozenset({BODY})
 
 
 # --------------------------------------------------------------------------- md
-def _escape_text(text: str) -> str:
-    # inline-text escapes observed in the goldens: & → &amp;, _ → \_
+def _escape_text(text: str, escape_html: bool = True) -> str:
+    # inline-text escapes observed in the goldens: & → &amp;, < → &lt;,
+    # > → &gt;, _ → \_ (escaped_characters.md.md golden). escape_html=False
+    # mirrors the reference export_to_markdown(escape_html=False) used by
+    # its VTT golden test (tests/test_backend_vtt.py:220) — html-special
+    # chars pass through, underscores still escape.
     # (table cells are NOT escaped — e.g. "Header 2 & 3" in example_04)
-    return text.replace("&", "&amp;").replace("_", r"\_")
+    if escape_html:
+        text = (
+            text.replace("&", "&amp;")
+            .replace("<", "&lt;")
+            .replace(">", "&gt;")
+        )
+    return text.replace("_", r"\_")
 
 
-def _inline(item: Item) -> str:
+def _inline(item: Item, escape_html: bool = True) -> str:
     """Inline form of a text item: formatting wrappers + hyperlink."""
     if item.label == "code":
         return _code_inline(item)
-    txt = _escape_text(item.text)
+    if item.label == "formula":
+        return f"${item.text}$"
+    txt = _escape_text(item.text, escape_html)
     f = item.formatting
     if f is not None:
         if f.bold and f.italic:
@@ -46,15 +58,26 @@ def _code_inline(item: Item) -> str:
     if "\n" in item.text:
         return f"```\n{item.text}\n```"
     txt = f"`{item.text}`"
+    f = item.formatting
+    if f is not None:
+        if f.bold and f.italic:
+            txt = f"***{txt}***"
+        elif f.bold:
+            txt = f"**{txt}**"
+        elif f.italic:
+            txt = f"*{txt}*"
+        if f.strikethrough:
+            txt = f"~~{txt}~~"
     if item.hyperlink:
         txt = f"[{txt}]({item.hyperlink})"
     return txt
 
 
 class _MdWriter:
-    def __init__(self, doc: SpanDoc, layers: frozenset):
+    def __init__(self, doc: SpanDoc, layers: frozenset, escape_html: bool = True):
         self.doc = doc
         self.layers = layers
+        self.escape_html = escape_html
         self.blocks: list[str] = []
 
     def _visible(self, item: Item) -> bool:
@@ -77,7 +100,7 @@ class _MdWriter:
             elif item.label == "inline":
                 if self._visible(item):
                     parts = [
-                        _inline(doc.items[c])
+                        _inline(doc.items[c], self.escape_html)
                         for c in item.children
                         if doc.items[c].kind == "text"
                         and self._visible(doc.items[c])
@@ -96,12 +119,40 @@ class _MdWriter:
         if item.kind == "text":
             if item.label == "caption":
                 return  # rendered via the owning picture/table
-            if item.label == "title":
-                self.blocks.append(f"# {_inline(item)}")
-            elif item.label == "section_header":
-                self.blocks.append(f"{'#' * (item.level + 1)} {_inline(item)}")
+            if item.label in ("title", "section_header"):
+                prefix = "#" if item.label == "title" else "#" * (item.level + 1)
+                head = _inline(item, self.escape_html) if item.text else ""
+                # heading with empty text + inline-group children (md backend
+                # shape: multi-fragment headings) renders joined on one line
+                inline_parts: list[str] = []
+                plain_children: list[int] = []
+                for c in item.children:
+                    ch = doc.items[c]
+                    if not item.text and ch.kind == "group" and ch.label == "inline":
+                        for t in ch.children:
+                            ti = doc.items[t]
+                            if ti.kind == "text" and self._visible(ti):
+                                s = _inline(ti, self.escape_html)
+                                if s:
+                                    inline_parts.append(s)
+                    else:
+                        plain_children.append(c)
+                joined = " ".join(([head] if head else []) + inline_parts)
+                self.blocks.append(f"{prefix} {joined}".rstrip())
+                for c in plain_children:
+                    self._block(doc.items[c])
+                return
+            elif item.label == "code":
+                # standalone (block-level) code items always render fenced —
+                # reference CodeItem serialization (escaped_characters.md.md
+                # golden: single-line code span under a heading → fenced);
+                # backtick form is reserved for inline-group contexts
+                self.blocks.append(f"```\n{item.text}\n```")
+            elif item.label == "formula":
+                # standalone FormulaItem → display math (equations.docx.md)
+                self.blocks.append(f"$${item.text}$$")
             else:
-                txt = _inline(item)
+                txt = _inline(item, self.escape_html)
                 if txt:
                     self.blocks.append(txt)
             for c in item.children:
@@ -110,13 +161,13 @@ class _MdWriter:
             for cap in item.captions:
                 cap_it = self.doc.items[cap]
                 if cap_it.text:
-                    self.blocks.append(_escape_text(cap_it.text))
+                    self.blocks.append(_escape_text(cap_it.text, self.escape_html))
             self.blocks.append("<!-- image -->")
         elif item.kind == "table":
             for cap in item.captions:
                 cap_it = self.doc.items[cap]
                 if cap_it.text:
-                    self.blocks.append(_escape_text(cap_it.text))
+                    self.blocks.append(_escape_text(cap_it.text, self.escape_html))
             grid_md = self._table_md(item)
             if grid_md:
                 self.blocks.append(grid_md)
@@ -136,7 +187,7 @@ class _MdWriter:
                 for cap in child.captions:
                     cap_it = doc.items[cap]
                     if cap_it.text:
-                        lines.append(_escape_text(cap_it.text))
+                        lines.append(_escape_text(cap_it.text, self.escape_html))
                 lines.append("<!-- image -->")
                 continue
             if child.label != "list_item" or not self._visible(child):
@@ -148,7 +199,7 @@ class _MdWriter:
                 marker = "-"
             parts: list[str] = []
             if child.text:
-                parts.append(_inline(child))
+                parts.append(_inline(child, self.escape_html))
             sublists: list[Item] = []
             for gidx in child.children:
                 sub = doc.items[gidx]
@@ -156,7 +207,7 @@ class _MdWriter:
                     for t in sub.children:
                         ti = doc.items[t]
                         if ti.kind == "text" and self._visible(ti):
-                            s = _inline(ti)
+                            s = _inline(ti, self.escape_html)
                             if s:
                                 parts.append(s)
                 elif sub.kind == "group" and sub.label == "list":
@@ -173,7 +224,7 @@ class _MdWriter:
     def _cell_content(self, item: Item, cell) -> str:
         if cell.rich_ref >= 0:
             grp = self.doc.items[cell.rich_ref]
-            sub = _MdWriter(self.doc, self.layers)
+            sub = _MdWriter(self.doc, self.layers, self.escape_html)
             for c in grp.children:
                 sub._block(self.doc.items[c])
             rendered = "\n\n".join(sub.blocks).strip()
@@ -198,8 +249,12 @@ class _MdWriter:
         return _github_table(grid)
 
 
-def to_markdown(doc: SpanDoc, layers: Iterable[str] = DEFAULT_LAYERS) -> str:
-    return _MdWriter(doc, frozenset(layers)).run()
+def to_markdown(
+    doc: SpanDoc,
+    layers: Iterable[str] = DEFAULT_LAYERS,
+    escape_html: bool = True,
+) -> str:
+    return _MdWriter(doc, frozenset(layers), escape_html).run()
 
 
 # ----------------------------------------------------- github-style md tables
@@ -270,15 +325,28 @@ def _github_table(grid: list[list[str]]) -> str:
             body[r][c] = body[r][c] + " " * pad
 
     def _visible_width(s: str) -> int:
-        # wcswidth returns -1 for strings containing nonprintable chars
-        return -1 if any(ord(ch) < 32 for ch in s) else len(s)
+        # wcswidth semantics (reference uses wcwidth for column padding):
+        # -1 for strings containing nonprintable chars; wide/fullwidth East
+        # Asian chars count 2; combining marks count 0; else 1 per char
+        import unicodedata
+
+        total = 0
+        for ch in s:
+            o = ord(ch)
+            if o < 32 or o == 0x7F:
+                return -1
+            if unicodedata.combining(ch):
+                continue
+            total += 2 if unicodedata.east_asian_width(ch) in ("W", "F") else 1
+        return total
 
     widths = []
     for c in range(ncols):
-        w = len(headers[c]) + 2  # MIN_PADDING on headers
+        w = _visible_width(headers[c]) + 2  # MIN_PADDING on headers
         for r in range(len(body)):
-            if _visible_width(body[r][c]) >= 0:
-                w = max(w, len(body[r][c]))
+            vw = _visible_width(body[r][c])
+            if vw >= 0:
+                w = max(w, vw)
         widths.append(w)
 
     def align(s: str, c: int) -> str:

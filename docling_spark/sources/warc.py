@@ -36,8 +36,13 @@ def gunzip_members(data: bytes) -> bytes:
     pos = 0
     while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out += d.decompress(data[pos:])
-        out += d.flush()
+        try:
+            out += d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error:
+            # corrupt member: keep whatever decompressed, stop scanning —
+            # expected at Common-Crawl scale; must not raise into the task
+            break
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -128,7 +133,12 @@ def read_warc(spark, path: str):
         for b in batches:
             rows = []
             for blob in b["content"]:
-                rows.extend(warc_to_rows(bytes(blob)))
+                # per-file containment: one corrupt/malformed WARC must not
+                # fail the Spark task (same principle as job._extract_one)
+                try:
+                    rows.extend(warc_to_rows(bytes(blob)))
+                except Exception:  # noqa: BLE001 — containment by design
+                    continue
             yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, schema=PAGES_SCHEMA)

@@ -75,14 +75,18 @@ def windowed_status_counts(
     )
 
 
-def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
+def stateful_dedup_stream(
+    pages_stream: DataFrame, state_ttl_ms: int = 7 * 24 * 3600 * 1000
+) -> DataFrame:
     """Cross-micro-batch exact dedup: emit each doc_hash's FIRST-SEEN row
     only, suppressing every later duplicate for as long as the state lives.
 
     Custom stateful operator via ``applyInPandasWithState`` keyed by
     doc_hash — the streaming analog of the batch exact-dedup groupBy. State
-    per key is one boolean; on a real crawl feed pair this with a state TTL
-    (GroupStateTimeout) sized to the recrawl horizon."""
+    per key is one boolean with a processing-time TTL (``state_ttl_ms``,
+    default 7 days ~ a recrawl horizon) so state doesn't grow unboundedly
+    on a continuous crawl feed; after the TTL the hash is treated as new
+    again, which is the standard trade for bounded state."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -103,21 +107,39 @@ def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
     state_schema = StructType([StructField("seen", StringType())])
 
     def dedup(key, pdfs, state: GroupState):
-        if state.exists:
-            first_url, first_ts = None, None
-        else:
+        if state.hasTimedOut:
+            # TTL expired: drop the key's state; no output this round
+            state.remove()
+            return
+        if not state.exists:
+            # global min across ALL pandas chunks of this key in the batch
+            # (a key's rows may span multiple Arrow chunks; taking the first
+            # non-empty chunk's min would be wrong)
             first_url, first_ts = None, None
             for pdf in pdfs:
-                pdf = pdf.sort_values("warc_ts", kind="stable")
-                if len(pdf) and first_url is None:
-                    first_url = pdf["url"].iloc[0]
-                    first_ts = pdf["warc_ts"].iloc[0]
-                    break
+                if not len(pdf):
+                    continue
+                pdf = pdf.sort_values(
+                    ["warc_ts", "url"], kind="stable"
+                )
+                ts, u = pdf["warc_ts"].iloc[0], pdf["url"].iloc[0]
+                if first_ts is None or ts < first_ts or (
+                    ts == first_ts and u < first_url
+                ):
+                    first_url, first_ts = u, ts
             state.update(("y",))
-        if first_url is not None:
-            yield pd.DataFrame(
-                {"doc_hash": [key[0]], "url": [first_url], "warc_ts": [first_ts]}
-            )
+            state.setTimeoutDuration(state_ttl_ms)
+            if first_url is not None:
+                yield pd.DataFrame(
+                    {
+                        "doc_hash": [key[0]],
+                        "url": [first_url],
+                        "warc_ts": [first_ts],
+                    }
+                )
+        else:
+            # already seen: refresh the TTL and suppress duplicates
+            state.setTimeoutDuration(state_ttl_ms)
 
     hashed = pages_stream.withColumn("doc_hash", F.sha2(F.col("html"), 256))
     return (
@@ -128,7 +150,7 @@ def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 

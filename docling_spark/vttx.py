@@ -29,6 +29,14 @@ def _valid_ts(raw: str) -> bool:
     return bool(_TS_RE.match(raw))
 
 
+def _ts_ms(raw: str) -> int:
+    m = _TS_RE.match(raw)
+    h = int(m.group(1) or 0)
+    return ((h * 60 + int(m.group(2))) * 60 + int(m.group(3))) * 1000 + int(
+        m.group(4)
+    )
+
+
 @dataclass
 class _Span:
     kind: str  # text | c | i | b | u | v
@@ -65,6 +73,10 @@ def _parse_cue(raw: str) -> _Cue:
     end = re.split(" |\t", end)[0]  # settings list ignored
     if not (_valid_ts(start) and _valid_ts(end)):
         raise ValueError("invalid timestamp")
+    if _ts_ms(end) <= _ts_ms(start):
+        # reference _WebVTTCueTimings validator requires end > start; such
+        # cue blocks are skipped, not emitted
+        raise ValueError("cue end timestamp must be greater than start")
 
     cue_text = " ".join(cue_lines).strip()
     if "-->" in cue_text:

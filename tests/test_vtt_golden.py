@@ -20,7 +20,11 @@ FIXTURES = sorted(DATA.glob("*.vtt"))
 @pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
 def test_vtt_md_golden(path: Path):
     doc = extract_vtt(path.read_bytes(), name=path.stem)
-    assert to_markdown(doc) == (GT / f"{path.name}.md").read_text()
+    # reference vtt golden test exports with escape_html=False
+    # (/root/reference/tests/test_backend_vtt.py:220)
+    assert to_markdown(doc, escape_html=False) == (
+        GT / f"{path.name}.md"
+    ).read_text()
 
 
 @pytest.mark.parametrize("path", FIXTURES, ids=lambda p: p.stem)
