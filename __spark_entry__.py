@@ -240,6 +240,40 @@ def q_pdf_struct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown backend through the full Spark job (synth md sources)."""
+    from docling_spark.ops.corpus import synth_pages_md
+
+    out = extract_pages(synth_pages_md(spark, sf_dir), base_uri_mode="none")
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
+def q_asciidoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AsciiDoc backend through the full Spark job."""
+    from docling_spark.ops.corpus import synth_pages_asciidoc
+
+    out = extract_pages(
+        synth_pages_asciidoc(spark, sf_dir), base_uri_mode="none"
+    )
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX backend through the full Spark job (zip-content dispatch)."""
+    from docling_spark.ops.corpus import synth_pages_docx
+
+    out = extract_pages(synth_pages_docx(spark, sf_dir), base_uri_mode="none")
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
+def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX backend through the full Spark job (zip-content dispatch)."""
+    from docling_spark.ops.corpus import synth_pages_xlsx
+
+    out = extract_pages(synth_pages_xlsx(spark, sf_dir), base_uri_mode="none")
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
 def q_pdf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical chunker over STRUCTURED PDF rows: list items + body
     text chunk under their section heading (was impossible with the round-1
@@ -465,6 +499,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_spans": q_pdf_spans,
         "pdf_struct_spans": q_pdf_struct_spans,
         "pdf_chunks": q_pdf_chunks,
+        "md_extract": q_md_extract,
+        "asciidoc_extract": q_asciidoc_extract,
+        "docx_extract": q_docx_extract,
+        "xlsx_extract": q_xlsx_extract,
         "chunk_pack": q_chunk_pack,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
@@ -725,6 +763,41 @@ def oracle_sql() -> dict[str, str]:
                                   || ' v' || lpad(CAST(d.doc_id % 100 AS VARCHAR), 2, '0')
                      WHEN 'body' THEN d.text END AS text
             FROM documents d CROSS JOIN rows r
+        """,
+        "md_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.md' AS url,
+                   'success' AS status, 'md' AS content_type,
+                   '# Document ' || doc_id || chr(10) || chr(10) || text
+                   || chr(10) || chr(10)
+                   || '- ' || split_part(text, ' ', 1) || chr(10)
+                   || '- ' || split_part(text, ' ', 2) || chr(10)
+                   || '- ' || split_part(text, ' ', 3) AS extracted_text
+            FROM documents
+        """,
+        "asciidoc_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.adoc' AS url,
+                   'success' AS status, 'asciidoc' AS content_type,
+                   '# Document ' || doc_id || chr(10) || chr(10) || text
+                   || chr(10) || chr(10)
+                   || '- ' || split_part(text, ' ', 1) || chr(10)
+                   || '- ' || split_part(text, ' ', 2) AS extracted_text
+            FROM documents
+        """,
+        "docx_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.docx' AS url,
+                   'success' AS status, 'docx' AS content_type,
+                   '# Document ' || doc_id || chr(10) || chr(10) || text
+                       AS extracted_text
+            FROM documents
+        """,
+        "xlsx_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.xlsx' AS url,
+                   'success' AS status, 'xlsx' AS content_type,
+                   '| K   | V   |' || chr(10) || '|-----|-----|' || chr(10)
+                   || '| k' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' | v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' |' AS extracted_text
+            FROM documents
         """,
         "pdf_chunks": """
             WITH ch(span_idx, tkind) AS (VALUES

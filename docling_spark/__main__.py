@@ -79,6 +79,70 @@ def convert_main(argv: list[str]) -> int:
                         ),
                     ),
                 }
+            elif path.suffix.lower() in (".pptx", ".pptm", ".potx") or (
+                raw[:2] == b"PK" and b"ppt/presentation.xml" in raw
+            ):
+                from .pptxx import extract_pptx
+
+                doc = extract_pptx(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc,
+                        path.name,
+                        raw,
+                        mimetype="application/vnd.ms-powerpoint",
+                    ),
+                }
+            elif path.suffix.lower() in (".xlsx", ".xlsm") or (
+                raw[:2] == b"PK" and b"xl/workbook.xml" in raw
+            ):
+                from .xlsxx import extract_xlsx
+
+                doc = extract_xlsx(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc,
+                        path.name,
+                        raw,
+                        mimetype=(
+                            "application/vnd.openxmlformats-officedocument."
+                            "spreadsheetml.sheet"
+                        ),
+                    ),
+                }
+            elif path.suffix.lower() == ".nxml" or (
+                b"JATS-journalpublishing" in raw[:8192]
+                or b"JATS-archive" in raw[:8192]
+            ):
+                from .jatsx import extract_jats
+
+                doc = extract_jats(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc, path.name, raw, mimetype="application/xml"
+                    ),
+                }
+            elif path.suffix.lower() in (".adoc", ".asciidoc", ".asc"):
+                from .asciidocx import extract_asciidoc
+
+                doc = extract_asciidoc(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc, path.name, raw, mimetype="text/asciidoc"
+                    ),
+                }
             elif path.suffix.lower() in (".md", ".markdown"):
                 from .mdx import extract_markdown
 

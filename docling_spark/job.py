@@ -52,7 +52,10 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
     Order mirrors the reference _guess_format (document.py:488-554):
     content magic (mime) first, then url extension, then content sniffing.
     """
-    head = F.decode(F.substring(F.col("html"), 1, prefix_bytes), "UTF-8")
+    # lenient cast (invalid UTF-8 → replacement chars): a crawl blob with
+    # arbitrary binary bytes must never crash the dispatch expression
+    # (F.decode raises MALFORMED_CHARACTER_CODING on such input)
+    head = F.substring(F.col("html"), 1, prefix_bytes).cast("string")
     ext = F.lower(
         F.regexp_extract(F.col("url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1)
     )
@@ -65,11 +68,46 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(F.substring(F.col("html"), 1, 6) == F.lit(b"WEBVTT"), "vtt")
         .when(ext == "vtt", "vtt")
         .when(ext.isin("md", "markdown"), "md")
+        .when(ext.isin("adoc", "asciidoc", "asc"), "asciidoc")
+        .when(
+            F.contains(F.col("html"), F.lit(b"JATS-journalpublishing"))
+            | F.contains(F.col("html"), F.lit(b"JATS-archive")),
+            "jats",
+        )
         .when(ext == "docx", "docx")
+        .when(ext.isin("xlsx", "xlsm"), "xlsx")
+        .when(ext.isin("pptx", "pptm", "potx"), "pptx")
         .when(
             (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
             & F.contains(F.col("html"), F.lit(b"word/document.xml")),
             "docx",
+        )
+        .when(
+            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            & F.contains(F.col("html"), F.lit(b"xl/workbook.xml")),
+            "xlsx",
+        )
+        .when(
+            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            & F.contains(F.col("html"), F.lit(b"ppt/presentation.xml")),
+            "pptx",
+        )
+        # image magics (reference image_backend routing — such rows get an
+        # explicit needs_ocr status rather than silently skipping)
+        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"\x89PNG"), "image")
+        .when(F.substring(F.col("html"), 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
+        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"GIF8"), "image")
+        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"II*\x00"), "image")
+        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"MM\x00*"), "image")
+        .when(F.substring(F.col("html"), 1, 2) == F.lit(b"BM"), "image")
+        .when(
+            (F.substring(F.col("html"), 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(F.col("html"), 9, 4) == F.lit(b"WEBP")),
+            "image",
+        )
+        .when(
+            ext.isin("png", "jpg", "jpeg", "gif", "tif", "tiff", "bmp", "webp"),
+            "image",
         )
         .when(
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
@@ -246,6 +284,115 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 n_chars=len(md),
                 doc_json=doc_json,
             )
+        elif content_type == "jats":
+            from .jatsx import extract_jats
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_jats(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="application/xml"
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "asciidoc":
+            from .asciidocx import extract_asciidoc
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_asciidoc(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype="text/asciidoc"
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "pptx":
+            from .pptxx import extract_pptx
+            from .serialize import to_itxt, to_markdown
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_pptx(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc,
+                    filename,
+                    bytes(blob),
+                    mimetype="application/vnd.ms-powerpoint",
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "xlsx":
+            from .serialize import to_itxt, to_markdown
+            from .xlsxx import extract_xlsx
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_xlsx(
+                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
+            )
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                doc_json = to_docling_json(
+                    doc,
+                    filename,
+                    bytes(blob),
+                    mimetype=(
+                        "application/vnd.openxmlformats-officedocument."
+                        "spreadsheetml.sheet"
+                    ),
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
         elif content_type == "md":
             from .mdx import extract_markdown
             from .serialize import to_itxt, to_markdown
@@ -315,6 +462,14 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 n_items=len(spans) if spans else None,
                 n_chars=len(res.text) if res.text else None,
             )
+        elif content_type == "image":
+            # reference ImageDocumentBackend wraps images as a 1-page doc
+            # with zero text cells, which forces the OCR path
+            # (/root/reference/docling/backend/image_backend.py:121-190);
+            # OCR is NN-based and out of contract, so the row gets the same
+            # explicit needs_ocr status a 0-cell PDF page gets
+            out["status"] = "needs_ocr"
+            out["error"] = "image input requires OCR (not in contract)"
         else:
             out["status"] = "skipped"
             out["error"] = f"unsupported content_type"

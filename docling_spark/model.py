@@ -80,6 +80,9 @@ class Item:
     cells: list[TableCellSpec] = field(default_factory=list)
     # picture/table caption refs (indices of caption text items)
     captions: list[int] = field(default_factory=list)
+    # provenance: (page_no, l, t, r, b) in source units (e.g. xlsx cell
+    # indices), TOPLEFT origin — None for backends without positions
+    prov: Optional[tuple] = None
 
 
 class SpanDoc:
@@ -90,6 +93,8 @@ class SpanDoc:
         root = Item(idx=0, kind="group", label="unspecified", name="_root_", parent=-1)
         self.items: list[Item] = [root]
         self.table_count = 0  # mirrors len(doc.tables) for rich-cell group names
+        # page_no → (width, height); empty unless a paginated backend fills it
+        self.pages: dict[int, tuple[float, float]] = {}
 
     # -- low-level ---------------------------------------------------------
     def _add(self, item: Item, parent: Optional[int]) -> Item:

@@ -3,15 +3,16 @@
 Reference parity: docling re-exports HierarchicalChunker/HybridChunker
 (/root/reference/docling/chunking/__init__.py:7-13) which walk the
 DoclingDocument tree and emit one chunk per body text item with its heading
-context. Our span model is the flattened (idx, parent) encoding, so the
-tree walk becomes RELATIONAL: explode the spans array, then resolve heading
-ancestry with bounded self-joins (depth ≤ 3 covers title → group → item,
-the deepest chain the HTML backend emits for text content).
+context. Our span model is the flattened (idx, parent) encoding and the
+whole tree of one document lives inside ONE row's spans array — so heading
+ancestry is resolved per row with higher-order functions (a map built from
+the array + two parent lookups), not with self-joins.
 
-Scale notes: the explode is a narrow transform; the self-joins are per-url
-equi-joins on (url, idx) — co-partitioned by the explode's parent
-partitioning, so AQE turns them into local joins; no global shuffle beyond
-the url hash the pipeline already has.
+Scale notes: one explode, ZERO joins, ZERO added shuffles — the round-1
+shape (explode + two (url, idx) equi-joins) recomputed the upstream
+extraction UDF per join branch and paid two shuffles; this plan is a
+single narrow pass over the extraction output (see
+tests/test_plans.py::test_chunk_spans_no_joins).
 """
 
 from __future__ import annotations
@@ -26,53 +27,45 @@ _CHUNK_LABELS = ("text", "list_item", "code", "formula")
 def chunk_spans(extracted: DataFrame) -> DataFrame:
     """extracted (url, spans) → one row per chunk:
     (url, span_idx, heading, chunk_text)."""
-    s = (
-        extracted.select("url", F.explode("spans").alias("s"))
-        .select(
-            "url",
-            F.col("s.idx").alias("idx"),
-            F.col("s.parent").alias("parent"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.label").alias("label"),
-            F.col("s.text").alias("text"),
-            F.col("s.content_layer").alias("layer"),
+
+    def is_heading(node):
+        return node.label.isin(*_HEADINGS)
+
+    # idx → (parent, label, text) lookup map, built once per document row
+    node_map = F.map_from_entries(
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s.idx.alias("key"),
+                F.struct(
+                    s.parent.alias("parent"),
+                    s.label.alias("label"),
+                    s.text.alias("text"),
+                ).alias("value"),
+            ),
         )
     )
-    items = s.filter(
-        (F.col("kind") == "text")
-        & F.col("label").isin(*_CHUNK_LABELS)
-        & (F.col("layer") == "body")
-        & (F.length(F.coalesce("text", F.lit(""))) > 0)
+    chunkable = F.filter(
+        "spans",
+        lambda s: (s.kind == "text")
+        & s.label.isin(*_CHUNK_LABELS)
+        & (s.content_layer == "body")
+        & (F.length(F.coalesce(s.text, F.lit(""))) > 0),
     )
-    # parent / grandparent heading lookup (bounded ancestry)
-    p1 = s.select(
-        F.col("url").alias("p1_url"),
-        F.col("idx").alias("p1_idx"),
-        F.col("parent").alias("p1_parent"),
-        F.when(F.col("label").isin(*_HEADINGS), F.col("text")).alias("p1_head"),
+    out = extracted.select(
+        "url", node_map.alias("_m"), F.explode(chunkable).alias("s")
     )
-    p2 = s.select(
-        F.col("url").alias("p2_url"),
-        F.col("idx").alias("p2_idx"),
-        F.when(F.col("label").isin(*_HEADINGS), F.col("text")).alias("p2_head"),
+    p1 = F.element_at("_m", F.col("s.parent"))
+    p2 = F.element_at("_m", p1["parent"])
+    heading = F.coalesce(
+        F.when(is_heading(p1), p1["text"]),
+        F.when(is_heading(p2), p2["text"]),
     )
-    joined = (
-        items.join(
-            p1,
-            (items.url == p1.p1_url) & (items.parent == p1.p1_idx),
-            "left",
-        )
-        .join(
-            p2,
-            (F.col("p1_url") == p2.p2_url) & (F.col("p1_parent") == p2.p2_idx),
-            "left",
-        )
-    )
-    return joined.select(
+    return out.select(
         "url",
-        F.col("idx").alias("span_idx"),
-        F.coalesce("p1_head", "p2_head").alias("heading"),
-        F.col("text").alias("chunk_text"),
+        F.col("s.idx").alias("span_idx"),
+        heading.alias("heading"),
+        F.col("s.text").alias("chunk_text"),
     )
 
 

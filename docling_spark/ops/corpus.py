@@ -270,6 +270,212 @@ def synth_pages_pdf_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- synthetic md / asciidoc sources
+def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → markdown source blobs (pure JVM string build)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+    md_str = F.concat(
+        F.lit("# Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n\n- "),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+        F.lit("\n- "),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
+        F.lit("\n- "),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(3)),
+        F.lit("\n"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://synth.test/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".md"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(md_str, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+def synth_pages_asciidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → asciidoc source blobs (pure JVM string build)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+    adoc_str = F.concat(
+        F.lit("= Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n\n"),
+        F.col("text"),
+        F.lit("\n\n* "),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)),
+        F.lit("\n* "),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(2)),
+        F.lit("\n"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://synth.test/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".adoc"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(adoc_str, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
+# -------------------------------------------- synthetic docx / xlsx sources
+_W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def synth_docx_bytes(doc_id: int, text: str) -> bytes:
+    """Minimal deterministic DOCX: Title paragraph + one body paragraph.
+    Extracted markdown is exactly ``# Document {id}\\n\\n{text}``."""
+    from xml.sax.saxutils import escape
+
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:document {_W_NS}><w:body>"
+        f"<w:p><w:pPr><w:pStyle w:val=\"Title\"/></w:pPr>"
+        f"<w:r><w:t>Document {doc_id}</w:t></w:r></w:p>"
+        f"<w:p><w:r><w:t>{escape(text)}</w:t></w:r></w:p>"
+        f"</w:body></w:document>"
+    )
+    styles = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<w:styles {_W_NS}>"
+        f'<w:style w:type="paragraph" w:styleId="Title">'
+        f'<w:name w:val="Title"/></w:style>'
+        f'<w:style w:type="paragraph" w:default="1" w:styleId="Normal">'
+        f'<w:name w:val="Normal"/></w:style>'
+        f"</w:styles>"
+    )
+    return _zip_bytes(
+        {"word/document.xml": document, "word/styles.xml": styles}
+    )
+
+
+_S_NS = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+_R_NS = (
+    'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/'
+    'relationships"'
+)
+
+
+def synth_xlsx_bytes(doc_id: int) -> bytes:
+    """Minimal deterministic XLSX: one sheet with a 2×2 K/V data island.
+    Extracted markdown is the constant-width pipe table for k{NN}/v{NN}."""
+    kv = f"{doc_id % 100:02d}"
+    workbook = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<workbook {_S_NS} {_R_NS}><sheets>"
+        f'<sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships/worksheet" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+
+    def cell(ref: str, val: str) -> str:
+        return (
+            f'<c r="{ref}" t="inlineStr"><is><t>{val}</t></is></c>'
+        )
+
+    sheet = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f"<worksheet {_S_NS}><sheetData>"
+        f'<row r="1">{cell("A1", "K")}{cell("B1", "V")}</row>'
+        f'<row r="2">{cell("A2", "k" + kv)}{cell("B2", "v" + kv)}</row>'
+        f"</sheetData></worksheet>"
+    )
+    return _zip_bytes(
+        {
+            "xl/workbook.xml": workbook,
+            "xl/_rels/workbook.xml.rels": rels,
+            "xl/worksheets/sheet1.xml": sheet,
+        }
+    )
+
+
+def _zip_bytes(parts: dict[str, str]) -> bytes:
+    import zipfile
+    from io import BytesIO
+
+    buf = BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in parts.items():
+            # fixed timestamp → byte-deterministic archives
+            info = zipfile.ZipInfo(name, date_time=(2024, 1, 1, 0, 0, 0))
+            zf.writestr(info, content)
+    return buf.getvalue()
+
+
+def _synth_office_pages(spark, sf_dir, build, suffix):
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/doc/{i}{suffix}"
+                        for i in b["doc_id"]
+                    ],
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.to_timedelta(b["doc_id"], unit="s"),
+                    "html": [
+                        build(int(i), t)
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def synth_pages_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _synth_office_pages(
+        spark, sf_dir, synth_docx_bytes, ".docx"
+    )
+
+
+def synth_pages_xlsx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _synth_office_pages(
+        spark, sf_dir, lambda i, t: synth_xlsx_bytes(i), ".xlsx"
+    )
+
+
 # Expected extracted text of a synth PDF, as ANSI SQL (DuckDB oracle).
 SYNTH_PDF_TEXT_SQL = "'Document ' || doc_id || chr(10) || chr(10) || text"
 

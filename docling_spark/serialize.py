@@ -216,7 +216,10 @@ class _MdWriter:
                     s = _inline(sub)
                     if s:
                         parts.append(s)
-            lines.append(f"{' ' * 4 * depth}{marker} {' '.join(parts)}".rstrip())
+            # keep the item text's own trailing whitespace (pptx sample
+            # golden "- l1 "); only a fully empty item collapses to bare "-"
+            line = f"{' ' * 4 * depth}{marker} {' '.join(parts)}"
+            lines.append(line if parts else line.rstrip())
             for sub in sublists:
                 self._list_lines(sub, depth + 1, lines)
 
@@ -403,9 +406,12 @@ def to_itxt(
                 lines.append(f"{indent}item-{n} at level {level}: picture")
                 for cap in item.captions:
                     cap_it = doc.items[cap]
+                    # caption lines print in full — docling's itxt applies
+                    # max_text_len to item text but not to caption_text
+                    # (pinned by the JATS nxml goldens)
                     lines.append(
                         f"{indent}  item-{n} at level {level + 1}: caption: "
-                        f"{_trunc(cap_it.text, max_text_len)}"
+                        f"{cap_it.text}"
                     )
             elif item.kind == "table":
                 lines.append(
@@ -416,7 +422,7 @@ def to_itxt(
                     cap_it = doc.items[cap]
                     lines.append(
                         f"{indent}  item-{n} at level {level + 1}: caption: "
-                        f"{_trunc(cap_it.text, max_text_len)}"
+                        f"{cap_it.text}"
                     )
             else:
                 lines.append(

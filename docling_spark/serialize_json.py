@@ -72,6 +72,39 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
             "content_layer": it.content_layer,
         }
 
+    def prov_list(it: Item) -> list:
+        if it.prov is None:
+            return []
+        if isinstance(it.prov, dict):
+            p = it.prov
+            return [
+                {
+                    "page_no": p["page_no"],
+                    "bbox": {
+                        "l": float(p["l"]),
+                        "t": float(p["t"]),
+                        "r": float(p["r"]),
+                        "b": float(p["b"]),
+                        "coord_origin": p.get("coord_origin", "TOPLEFT"),
+                    },
+                    "charspan": list(p.get("charspan", (0, 0))),
+                }
+            ]
+        page_no, l, t, r, b = it.prov
+        return [
+            {
+                "page_no": page_no,
+                "bbox": {
+                    "l": float(l),
+                    "t": float(t),
+                    "r": float(r),
+                    "b": float(b),
+                    "coord_origin": "TOPLEFT",
+                },
+                "charspan": [0, 0],
+            }
+        ]
+
     out: dict[str, Any] = {
         "schema_name": "DoclingDocument",
         "version": VERSION,
@@ -101,7 +134,13 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
         "tables": [],
         "key_value_items": [],
         "form_items": [],
-        "pages": {},
+        "pages": {
+            str(no): {
+                "size": {"width": float(w), "height": float(h)},
+                "page_no": no,
+            }
+            for no, (w, h) in sorted(doc.pages.items())
+        },
     }
 
     for it in doc.items[1:]:
@@ -113,7 +152,7 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
         elif it.kind == "text":
             t = common(it)
             t["label"] = it.label
-            t["prov"] = []
+            t["prov"] = prov_list(it)
             t["orig"] = it.orig if it.orig else it.text
             t["text"] = it.text
             if it.label == "code":
@@ -138,7 +177,7 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
         elif it.kind == "picture":
             p = common(it)
             p["label"] = it.label
-            p["prov"] = []
+            p["prov"] = prov_list(it)
             p["captions"] = [refobj(c) for c in it.captions]
             p["references"] = []
             p["footnotes"] = []
@@ -147,7 +186,7 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
         elif it.kind == "table":
             tb = common(it)
             tb["label"] = it.label
-            tb["prov"] = []
+            tb["prov"] = prov_list(it)
             tb["captions"] = [refobj(c) for c in it.captions]
             tb["references"] = []
             tb["footnotes"] = []

@@ -45,6 +45,19 @@ def test_extract_pipeline_single_exchange_before_udf(spark):
     assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
 
 
+def test_chunk_spans_no_joins_no_extra_exchange(spark):
+    """Heading ancestry resolves inside the spans array (map lookups), so
+    the chunker adds NO join and NO shuffle beyond the extraction plan —
+    and the extraction UDF appears exactly once (no recompute per branch,
+    the round-1 defect)."""
+    df = entry.q_chunk_spans(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # same single exchange as the bare extraction pipeline
+    assert plan.count("Exchange") == 1
+    assert plan.count("MapInPandas") == 1
+
+
 def test_broadcast_enrich_uses_broadcast_join(spark):
     df = entry.q_broadcast_enrich(spark, SF)
     assert "BroadcastHashJoin" in _plan(df)

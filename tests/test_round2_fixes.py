@@ -170,6 +170,32 @@ def test_markdown_table_east_asian_width():
     assert vis(cjk_row) == vis(hdr_row)
 
 
+# ------------------------------------------------------- image → needs_ocr
+def test_image_rows_route_to_needs_ocr(spark):
+    """PNG/JPEG/TIFF/WebP magic bytes (or image extensions) must dispatch
+    to content_type='image' and an explicit needs_ocr status — the NN-free
+    analog of the reference ImageDocumentBackend's forced-OCR path."""
+    import datetime
+
+    from docling_spark.job import extract_pages
+    from docling_spark.schema import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://t/a.png", ts, b"\x89PNG\r\n\x1a\n" + b"\x00" * 16, None, "en"),
+        ("https://t/b", ts, b"\xff\xd8\xff\xe0" + b"\x00" * 16, None, "en"),
+        ("https://t/c", ts, b"RIFF\x10\x00\x00\x00WEBPVP8 ", None, "en"),
+        ("https://t/d.jpeg", ts, b"not really an image", None, "en"),
+        ("https://t/e.html", ts, b"<html><body>hi</body></html>", None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    for url in ("https://t/a.png", "https://t/b", "https://t/c", "https://t/d.jpeg"):
+        assert out[url].content_type == "image", url
+        assert out[url].status == "needs_ocr", url
+    assert out["https://t/e.html"].status == "success"
+
+
 # --------------------------------------------------------- jaccard DF-cap
 def test_jaccard_df_cap_drops_hot_shingle(spark):
     """With max_doc_freq=1 every shared shingle is dropped → no pairs."""
