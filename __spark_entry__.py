@@ -274,6 +274,16 @@ def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "content_type", "extracted_text")
 
 
+def q_uspto_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USPTO patent backend through the full Spark job (DTD content sniff)."""
+    from docling_spark.ops.corpus import synth_pages_uspto
+
+    out = extract_pages(
+        synth_pages_uspto(spark, sf_dir), base_uri_mode="none"
+    )
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
 def q_pdf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical chunker over STRUCTURED PDF rows: list items + body
     text chunk under their section heading (was impossible with the round-1
@@ -503,6 +513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asciidoc_extract": q_asciidoc_extract,
         "docx_extract": q_docx_extract,
         "xlsx_extract": q_xlsx_extract,
+        "uspto_extract": q_uspto_extract,
         "chunk_pack": q_chunk_pack,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
@@ -797,6 +808,15 @@ def oracle_sql() -> dict[str, str]:
                    || '| k' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                    || ' | v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                    || ' |' AS extracted_text
+            FROM documents
+        """,
+        "uspto_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.uspto.xml' AS url,
+                   'success' AS status, 'uspto' AS content_type,
+                   '# DOCUMENT ' || doc_id || chr(10) || chr(10)
+                   || '### ABSTRACT' || chr(10) || chr(10) || text
+                   || chr(10) || chr(10) || '### CLAIMS' || chr(10) || chr(10)
+                   || split_part(text, ' ', 1) || ' claim' AS extracted_text
             FROM documents
         """,
         "pdf_chunks": """

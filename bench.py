@@ -57,21 +57,40 @@ def main() -> None:
     # zero on a long-running cluster job
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
     from docling_spark.job import extract_pages
-    from docling_spark.ops.corpus import synth_pages
+    from docling_spark.ops.corpus import synth_pages, synth_pages_pdf
 
-    warm = synth_pages(spark, SF_DIR).limit(int(CPUS) * 8)
+    # repartition AFTER limit: a bare limit short-circuits to one or two
+    # partitions, leaving most Python workers cold — the repartition fans
+    # the warm rows across every worker so each one pays its one-time
+    # imports here, not inside the first measured query
+    warm = synth_pages(spark, SF_DIR).limit(int(CPUS) * 8).repartition(int(CPUS))
     extract_pages(warm).count()
+    # warm the PDF branch too: its parser/fonts modules import lazily per
+    # content type
+    warm_pdf = (
+        synth_pages_pdf(spark, SF_DIR).limit(int(CPUS) * 8).repartition(int(CPUS))
+    )
+    extract_pages(warm_pdf).count()
 
+    # two passes per query, min reported: the host VM's CPU capacity swings
+    # ~2x between minutes (steal time), and the min of two adjacent runs is
+    # the stable estimator of the plan's steady-state cost; both passes are
+    # recorded in `queries_runs` so the spread stays visible
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     n_docs = 0
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            runs.append(round(time.perf_counter() - t0, 4))
+        timings[name] = min(runs)
+        all_runs[name] = runs
         if name == "extract_pipeline":
             n_docs = n
 
@@ -84,6 +103,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": all_runs,
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "docs_per_sec": round(n_docs / ext, 2) if ext else None,
                 "n_docs": n_docs,

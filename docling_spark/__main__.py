@@ -116,6 +116,21 @@ def convert_main(argv: list[str]) -> int:
                         ),
                     ),
                 }
+            elif path.suffix.lower() != ".nxml" and __import__(
+                "docling_spark.usptox", fromlist=["looks_like_uspto"]
+            ).looks_like_uspto(raw):
+                from .usptox import extract_uspto
+
+                doc = extract_uspto(raw, name=path.name)
+                mime = (
+                    "text/plain" if raw.startswith(b"PATN") else "application/xml"
+                )
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, None),
+                    "json": to_docling_json(doc, path.name, raw, mimetype=mime),
+                }
             elif path.suffix.lower() == ".nxml" or (
                 b"JATS-journalpublishing" in raw[:8192]
                 or b"JATS-archive" in raw[:8192]

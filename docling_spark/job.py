@@ -74,6 +74,20 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
             | F.contains(F.col("html"), F.lit(b"JATS-archive")),
             "jats",
         )
+        .when(
+            (F.substring(F.col("html"), 1, 4) == F.lit(b"PATN"))
+            | F.contains(F.col("html"), F.lit(b"us-patent-application-v4"))
+            | F.contains(F.col("html"), F.lit(b"us-patent-grant-v4"))
+            | F.contains(F.col("html"), F.lit(b"us-grant-025"))
+            | F.contains(F.col("html"), F.lit(b"US-Grant-025"))
+            | (
+                F.contains(
+                    F.col("html"), F.lit(b"patent-application-publication")
+                )
+                & F.contains(F.col("html"), F.lit(b"pap-v1"))
+            ),
+            "uspto",
+        )
         .when(ext == "docx", "docx")
         .when(ext.isin("xlsx", "xlsm"), "xlsx")
         .when(ext.isin("pptx", "pptm", "potx"), "pptx")
@@ -92,6 +106,10 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
             & F.contains(F.col("html"), F.lit(b"ppt/presentation.xml")),
             "pptx",
         )
+        # gzip magic → mets_gbs candidate (the branch inspects the tar and
+        # gracefully skips non-METS archives, mirroring the reference's
+        # content-inspecting _guess_format, document.py:688-707)
+        .when(F.substring(F.col("html"), 1, 2) == F.lit(b"\x1f\x8b"), "mets_gbs")
         # image magics (reference image_backend routing — such rows get an
         # explicit needs_ocr status rather than silently skipping)
         .when(F.substring(F.col("html"), 1, 4) == F.lit(b"\x89PNG"), "image")
@@ -279,6 +297,46 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 status="success",
                 extracted_text=md,
                 itxt=to_itxt(doc, 70),
+                spans=_doc_to_spans(doc),
+                n_items=len(doc.items),
+                n_chars=len(md),
+                doc_json=doc_json,
+            )
+        elif content_type == "mets_gbs":
+            from .metsx import extract_mets_gbs
+
+            res = extract_mets_gbs(bytes(blob))
+            out.update(
+                status=res.status,
+                extracted_text=res.text or None,
+                error=res.error,
+                spans=res.spans,
+                n_items=len(res.spans) if res.spans else None,
+                n_chars=len(res.text) if res.text else None,
+            )
+        elif content_type == "uspto":
+            from .serialize import to_itxt, to_markdown
+            from .usptox import extract_uspto
+
+            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+            doc = extract_uspto(bytes(blob), name=filename)
+            md = to_markdown(doc)
+            doc_json = None
+            if with_doc_json:
+                from .serialize_json import to_docling_json
+
+                mime = (
+                    "text/plain"
+                    if bytes(blob).startswith(b"PATN")
+                    else "application/xml"
+                )
+                doc_json = to_docling_json(
+                    doc, filename, bytes(blob), mimetype=mime
+                )
+            out.update(
+                status="success",
+                extracted_text=md,
+                itxt=to_itxt(doc, None),
                 spans=_doc_to_spans(doc),
                 n_items=len(doc.items),
                 n_chars=len(md),

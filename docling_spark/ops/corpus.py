@@ -464,6 +464,34 @@ def _synth_office_pages(spark, sf_dir, build, suffix):
     )
 
 
+def synth_uspto_bytes(doc_id: int, text: str) -> bytes:
+    """Minimal deterministic USPTO v4.x ICE application: title + abstract +
+    one claim. Extracted markdown is
+    ``# DOCUMENT {id}\\n\\n### ABSTRACT\\n\\n{text}\\n\\n### CLAIMS\\n\\n{w1} claim``."""
+    from xml.sax.saxutils import escape
+
+    w1 = text.split(" ")[0] if text else "w"
+    xml_doc = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<!DOCTYPE us-patent-application SYSTEM "us-patent-application-v44-2014-04-03.dtd">\n'
+        "<us-patent-application>"
+        "<us-bibliographic-data-application>"
+        f"<invention-title>DOCUMENT {doc_id}</invention-title>"
+        "</us-bibliographic-data-application>"
+        f"<abstract><p>{escape(text)}</p></abstract>"
+        "<claims><claim><claim-text>"
+        f"{escape(w1)} claim</claim-text></claim></claims>"
+        "</us-patent-application>"
+    )
+    return xml_doc.encode("utf-8")
+
+
+def synth_pages_uspto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _synth_office_pages(
+        spark, sf_dir, synth_uspto_bytes, ".uspto.xml"
+    )
+
+
 def synth_pages_docx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_office_pages(
         spark, sf_dir, synth_docx_bytes, ".docx"

@@ -23,6 +23,13 @@ from __future__ import annotations
 
 from .model import BODY, Item, SpanDoc
 
+# Exact head template of the reference HTML output format, re-derived from
+# the frozen golden file tests/data/groundtruth/docling_v2/word_tables.docx.html
+# (the only export_to_html golden the reference ships) — the {title} slot is
+# the document name.
+_HEAD_TEMPLATE = '<!DOCTYPE html>\n<html>\n<head>\n<meta charset="UTF-8"/>\n<title>{title}</title>\n<meta name="generator" content="Docling HTML Serializer"/>\n<style>\n    html {\n        background-color: #f5f5f5;\n        font-family: Arial, sans-serif;\n        line-height: 1.6;\n    }\n    body {\n        max-width: 800px;\n        margin: 0 auto;\n        padding: 2rem;\n        background-color: white;\n        box-shadow: 0 0 10px rgba(0,0,0,0.1);\n    }\n    h1, h2, h3, h4, h5, h6 {\n        color: #333;\n        margin-top: 1.5em;\n        margin-bottom: 0.5em;\n    }\n    h1 {\n        font-size: 2em;\n        border-bottom: 1px solid #eee;\n        padding-bottom: 0.3em;\n    }\n    table {\n        border-collapse: collapse;\n        margin: 1em 0;\n        width: 100%;\n    }\n    th, td {\n        border: 1px solid #ddd;\n        padding: 8px;\n        text-align: left;\n    }\n    th {\n        background-color: #f2f2f2;\n        font-weight: bold;\n    }\n    figure {\n        margin: 1.5em 0;\n        text-align: center;\n    }\n    figcaption {\n        color: #666;\n        font-style: italic;\n        margin-top: 0.5em;\n    }\n    img {\n        max-width: 100%;\n        height: auto;\n    }\n    pre {\n        background-color: #f6f8fa;\n        border-radius: 3px;\n        padding: 1em;\n        overflow: auto;\n    }\n    code {\n        font-family: monospace;\n        background-color: #f6f8fa;\n        padding: 0.2em 0.4em;\n        border-radius: 3px;\n    }\n    pre code {\n        background-color: transparent;\n        padding: 0;\n    }\n    .formula {\n        text-align: center;\n        padding: 0.5em;\n        margin: 1em 0;\n        background-color: #f9f9f9;\n    }\n    .formula-not-decoded {\n        text-align: center;\n        padding: 0.5em;\n        margin: 1em 0;\n        background: repeating-linear-gradient(\n            45deg,\n            #f0f0f0,\n            #f0f0f0 10px,\n            #f9f9f9 10px,\n            #f9f9f9 20px\n        );\n    }\n    .page-break {\n        page-break-after: always;\n        border-top: 1px dashed #ccc;\n        margin: 2em 0;\n    }\n    .key-value-region {\n        background-color: #f9f9f9;\n        padding: 1em;\n        border-radius: 4px;\n        margin: 1em 0;\n    }\n    .key-value-region dt {\n        font-weight: bold;\n    }\n    .key-value-region dd {\n        margin-left: 1em;\n        margin-bottom: 0.5em;\n    }\n    .form-container {\n        border: 1px solid #ddd;\n        padding: 1em;\n        border-radius: 4px;\n        margin: 1em 0;\n    }\n    .form-item {\n        margin-bottom: 0.5em;\n    }\n    .image-classification {\n        font-size: 0.9em;\n        color: #666;\n        margin-top: 0.5em;\n    }\n</style>\n</head>\n'
+
+
 
 def _esc(text: str) -> str:
     return (
@@ -75,13 +82,12 @@ class _HtmlWriter:
     def run(self) -> str:
         for cidx in self.doc.items[0].children:
             self._block(self.doc.items[cidx])
-        body = "\n".join(p for p in self.parts if p)
+        body = "\n".join(self.parts)
         return (
-            "<!DOCTYPE html>\n<html>\n<head><title>"
-            + _esc(self.doc.name)
-            + "</title></head>\n<body>\n"
+            _HEAD_TEMPLATE.replace("{title}", _esc(self.doc.name))
+            + "<body>\n<div class='page'>\n"
             + body
-            + "\n</body>\n</html>\n"
+            + "\n</div>\n</body>\n</html>"
         )
 
     def _inline_children(self, item: Item) -> str:
@@ -134,9 +140,8 @@ class _HtmlWriter:
                 # unescaped on purpose — see module docstring
                 self.parts.append(f"<pre><code>{item.text}</code></pre>")
             else:
-                s = _inline_html(item)
-                if s:
-                    self.parts.append(f"<p>{s}</p>")
+                # empty paragraphs render as <p></p> (word_tables golden)
+                self.parts.append(f"<p>{_inline_html(item)}</p>")
             for c in item.children:
                 ch = doc.items[c]
                 if ch.kind == "group" and ch.label == "inline" and not item.text:
@@ -206,7 +211,7 @@ class _HtmlWriter:
                 for c in range(cell.start_col, min(cell.end_col, cols)):
                     if (r, c) != key:
                         covered.add((r, c))
-        out = ["<table>"]
+        out = ["<table><tbody>"]
         for r in range(rows):
             out.append("<tr>")
             for c in range(cols):
@@ -226,7 +231,7 @@ class _HtmlWriter:
                     attrs += f' colspan="{cs}"'
                 out.append(f"<{tag}{attrs}>{_esc(cell.text)}</{tag}>")
             out.append("</tr>")
-        out.append("</table>")
+        out.append("</tbody></table>")
         cap = ""
         for ci in item.captions:
             ct = self.doc.items[ci]

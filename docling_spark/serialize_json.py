@@ -153,7 +153,11 @@ def to_docling_dict(doc: SpanDoc, filename: str, raw: bytes,
             t = common(it)
             t["label"] = it.label
             t["prov"] = prov_list(it)
-            t["orig"] = it.orig if it.orig else it.text
+            # orig is authoritative: every builder sets it at creation
+            # (falling back to text there), and a later in-place .text
+            # mutation must NOT leak into orig (USPTO APS claims keep
+            # orig="" while text accumulates — pftaps json golden)
+            t["orig"] = it.orig
             t["text"] = it.text
             if it.label == "code":
                 t["captions"] = [refobj(c) for c in it.captions]

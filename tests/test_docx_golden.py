@@ -63,6 +63,18 @@ def test_docx_json_golden(path: Path):
     assert ours == gt
 
 
+def test_docx_html_export_golden():
+    """The reference ships exactly one export_to_html golden
+    (word_tables.docx.html, checked by test_backend_msword.py:99-104);
+    our to_html matches it byte-for-byte — head template, page div,
+    tbody-wrapped tables with row/colspans, empty <p></p> paragraphs."""
+    from docling_spark.serialize_html import to_html
+
+    path = DATA / "word_tables.docx"
+    doc = extract_docx(path.read_bytes(), name=path.stem)
+    assert to_html(doc) == (GT / "word_tables.docx.html").read_text()
+
+
 @pytest.mark.xfail(
     strict=False, reason="upstream-flaky fixture with stale golden"
 )
