@@ -127,6 +127,15 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
             ext.isin("png", "jpg", "jpeg", "gif", "tif", "tiff", "bmp", "webp"),
             "image",
         )
+        # audio magics/extensions (reference NoOpBackend → ASR pipeline,
+        # NN and out of contract — explicit status instead of silent skip)
+        .when(
+            (F.substring(F.col("html"), 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(F.col("html"), 9, 4) == F.lit(b"WAVE")),
+            "audio",
+        )
+        .when(F.substring(F.col("html"), 1, 3) == F.lit(b"ID3"), "audio")
+        .when(ext.isin("wav", "mp3", "m4a", "flac", "ogg"), "audio")
         .when(
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
             "docling_json",
@@ -520,6 +529,11 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 n_items=len(spans) if spans else None,
                 n_chars=len(res.text) if res.text else None,
             )
+        elif content_type == "audio":
+            # reference routes audio through NoOpBackend to the ASR
+            # pipeline (whisper NN — out of contract)
+            out["status"] = "skipped"
+            out["error"] = "audio input requires ASR (not in contract)"
         elif content_type == "image":
             # reference ImageDocumentBackend wraps images as a 1-page doc
             # with zero text cells, which forces the OCR path

@@ -196,6 +196,27 @@ def test_image_rows_route_to_needs_ocr(spark):
     assert out["https://t/e.html"].status == "success"
 
 
+# ------------------------------------------------------- audio → skipped
+def test_audio_rows_route_to_explicit_skip(spark):
+    import datetime
+
+    from docling_spark.job import extract_pages
+    from docling_spark.schema import PAGES_SCHEMA
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("https://t/a", ts, b"RIFF\x24\x00\x00\x00WAVEfmt ", None, "en"),
+        ("https://t/b.mp3", ts, b"\x00" * 16, None, "en"),
+        ("https://t/c", ts, b"ID3\x04\x00" + b"\x00" * 16, None, "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {r.url: r for r in extract_pages(pages).collect()}
+    for url in ("https://t/a", "https://t/b.mp3", "https://t/c"):
+        assert out[url].content_type == "audio", url
+        assert out[url].status == "skipped", url
+        assert "ASR" in out[url].error
+
+
 # --------------------------------------------------------- jaccard DF-cap
 def test_jaccard_df_cap_drops_hot_shingle(spark):
     """With max_doc_freq=1 every shared shingle is dropped → no pairs."""
