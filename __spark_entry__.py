@@ -84,7 +84,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops.corpus import synth_pages_pdf
 
     pages = synth_pages_pdf(spark, sf_dir)
-    out = extract_pages(pages, base_uri_mode="none")
+    # text-only consumer: skip the structural labeler (grid detection +
+    # heading ranking) — span consumers (pdf_struct_spans, pdf_chunks)
+    # keep with_structure=True
+    out = extract_pages(pages, base_uri_mode="none", with_structure=False)
     return out.select("url", "status", "extracted_text", "n_chars")
 
 
@@ -119,10 +122,16 @@ def q_spans_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical chunker: spans tree → (heading, chunk_text) rows."""
+    """Hierarchical chunker: spans tree → (heading, chunk_text) rows.
+    Input is the shallow corpus UNION the deep-nesting corpus (3-level
+    nested lists, heading 6 parent links away) so the oracle pins the FULL
+    ancestry walk, not just 2 hops."""
     from docling_spark.ops.chunker import chunk_spans
+    from docling_spark.ops.corpus import synth_pages_deep
 
-    pages = synth_pages(spark, sf_dir)
+    pages = synth_pages(spark, sf_dir).unionByName(
+        synth_pages_deep(spark, sf_dir)
+    )
     return chunk_spans(extract_pages(pages, base_uri_mode="none"))
 
 
@@ -144,6 +153,15 @@ def q_doc_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_array_length(F.get_json_object(j, "$.tables")).alias("n_tables"),
         F.json_array_length(F.get_json_object(j, "$.groups")).alias("n_groups"),
     )
+
+
+def q_doctags_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocTags output format (reference OutputFormat.DOCTAGS, byte-pinned by
+    the 12 *.doctags.txt goldens in tests/test_doctags_golden.py): extract
+    with with_doctags=True; the oracle reconstructs the full tag stream."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none", with_doctags=True)
+    return out.select("url", "status", "doctags")
 
 
 def q_table_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_export": q_spans_export,
         "chunk_spans": q_chunk_spans,
         "doc_json": q_doc_json,
+        "doctags_export": q_doctags_export,
         "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
@@ -636,6 +655,7 @@ _STOP_HITS = " + ".join(
 
 def oracle_sql() -> dict[str, str]:
     synth_url = "'https://synth.test/doc/' || doc_id || '.html'"
+    synth_url_deep = "'https://synth.test/doc/' || doc_id || '-deep.html'"
     synth_html = (
         "'<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) || "
         "'<h1>Document ' || doc_id || '</h1>' || chr(10) || "
@@ -712,6 +732,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT {synth_url}, CAST(4 + g.k AS INTEGER), 'Document ' || doc_id,
                    split_part(text, ' ', g.k)
             FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+            UNION ALL
+            -- deep-nesting corpus: body text under the h1 title...
+            SELECT {synth_url_deep}, 3, 'Document ' || doc_id, text
+            FROM documents
+            UNION ALL
+            -- ...and 3-level nested list items whose nearest heading is the
+            -- h2 section, 2/4/6 parent links up (span idxs 6, 8, 10)
+            SELECT {synth_url_deep}, CAST(4 + 2 * g.k AS INTEGER),
+                   'Section ' || doc_id, split_part(text, ' ', g.k)
+            FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+        """,
+        "doctags_export": f"""
+            SELECT {synth_url} AS url,
+                   'success' AS status,
+                   '<doctag><title>Doc ' || doc_id || '</title>' || chr(10) ||
+                   '<title>Document ' || doc_id || '</title>' || chr(10) ||
+                   '<text>' || text || '</text>' || chr(10) ||
+                   '<unordered_list><list_item>' || split_part(text, ' ', 1) ||
+                   '</list_item>' || chr(10) ||
+                   '<list_item>' || split_part(text, ' ', 2) || '</list_item>' ||
+                   chr(10) ||
+                   '<list_item>' || split_part(text, ' ', 3) || '</list_item>' ||
+                   chr(10) || '</unordered_list>' || chr(10) ||
+                   '<otsl><ched>K<ched>V<nl><fcel>k' ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '<fcel>v' ||
+                   lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ||
+                   '<nl></otsl>' || chr(10) || '</doctag>' AS doctags
+            FROM documents
         """,
         "doc_json": f"""
             SELECT {synth_url} AS url,

@@ -76,6 +76,17 @@ def main() -> None:
     # ~2x between minutes (steal time), and the min of two adjacent runs is
     # the stable estimator of the plan's steady-state cost; both passes are
     # recorded in `queries_runs` so the spread stays visible
+    # chunk_spans: bench over the shallow corpus only. The queries() entry
+    # unions a deep-nesting corpus for correctness coverage (2x the docs),
+    # which would break round-over-round comparability of this timing; the
+    # chunker plan under test is identical either way.
+    from docling_spark.ops.chunker import chunk_spans as _chunk_spans
+
+    qs = dict(qs)
+    qs["chunk_spans"] = lambda sp, sf: _chunk_spans(
+        extract_pages(synth_pages(sp, sf), base_uri_mode="none")
+    )
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     n_docs = 0

@@ -25,7 +25,11 @@ def convert_main(argv: list[str]) -> int:
     the same extraction cores, no Spark session needed."""
     p = argparse.ArgumentParser(prog="docling_spark convert")
     p.add_argument("sources", nargs="+", help="html/pdf files")
-    p.add_argument("--to", default="md", help="comma list of md,itxt,json,text")
+    p.add_argument(
+        "--to",
+        default="md",
+        help="comma list of md,itxt,json,text,html,doctags",
+    )
     p.add_argument("--output", default=".", help="output directory")
     args = p.parse_args(argv)
 
@@ -43,6 +47,7 @@ def convert_main(argv: list[str]) -> int:
     for src in args.sources:
         path = Path(src)
         raw = path.read_bytes()
+        doc = None
         try:
             if raw[:5] == b"%PDF-" or path.suffix.lower() == ".pdf":
                 res = extract_pdf_text(raw)
@@ -192,7 +197,25 @@ def convert_main(argv: list[str]) -> int:
             print(f"FAILED {path.name}: {e}", file=sys.stderr)
             failures += 1
             continue
-        ext_map = {"md": ".md", "itxt": ".itxt", "json": ".json", "text": ".txt"}
+        if doc is not None:
+            # formats every SpanDoc backend supports; the PDF text path has
+            # no SpanDoc and keeps its md/text-only outputs
+            if "html" in formats:
+                from .serialize_html import to_html
+
+                outputs["html"] = to_html(doc)
+            if "doctags" in formats:
+                from .serialize_doctags import to_doctags
+
+                outputs["doctags"] = to_doctags(doc)
+        ext_map = {
+            "md": ".md",
+            "itxt": ".itxt",
+            "json": ".json",
+            "text": ".txt",
+            "html": ".html",
+            "doctags": ".doctags.txt",
+        }
         for fmt in formats:
             content = outputs.get(fmt)
             if content is not None:

@@ -187,9 +187,96 @@ def _doc_to_spans(doc) -> list[dict]:
     return spans
 
 
+def _doc_backend(content_type: str, blob: bytes, url: str, base_uri_mode: str):
+    """Route one blob to its SpanDoc-producing backend.
+
+    Returns ``(doc, filename, mimetype, itxt_width, md_kwargs)`` or ``None``
+    when the content type has no SpanDoc backend (pdf/mets/audio/image/etc.
+    are handled separately in :func:`_extract_one`). Mimetype ``None`` means
+    the serializer default (text/html).
+    """
+    filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
+    stem = filename.rsplit(".", 1)[0] or "file"
+    if content_type == "html":
+        from .htmlx.extract import HtmlExtractor
+
+        base = url if base_uri_mode == "url" else "None"
+        doc = HtmlExtractor(base_uri=base).convert(blob)
+        doc.name = stem
+        return doc, filename, None, 70, {}
+    if content_type == "vtt":
+        from .vttx import extract_vtt
+
+        # reference vtt goldens are exported with escape_html=False
+        # (tests/test_backend_vtt.py:220)
+        return (
+            extract_vtt(blob, name=stem),
+            filename,
+            "text/vtt",
+            70,
+            {"escape_html": False},
+        )
+    if content_type == "docling_json":
+        from .jsonx import parse_docling_json
+
+        return parse_docling_json(blob), filename, "application/json", 70, {}
+    if content_type == "docx":
+        from .docxx import extract_docx
+
+        mime = (
+            "application/vnd.openxmlformats-officedocument."
+            "wordprocessingml.document"
+        )
+        return extract_docx(blob, name=stem), filename, mime, 70, {}
+    if content_type == "xlsx":
+        from .xlsxx import extract_xlsx
+
+        mime = (
+            "application/vnd.openxmlformats-officedocument."
+            "spreadsheetml.sheet"
+        )
+        return extract_xlsx(blob, name=stem), filename, mime, 70, {}
+    if content_type == "pptx":
+        from .pptxx import extract_pptx
+
+        return (
+            extract_pptx(blob, name=stem),
+            filename,
+            "application/vnd.ms-powerpoint",
+            70,
+            {},
+        )
+    if content_type == "uspto":
+        from .usptox import extract_uspto
+
+        mime = "text/plain" if blob.startswith(b"PATN") else "application/xml"
+        # USPTO keeps the full filename as doc name and untruncated itxt
+        # (reference pftaps/grant goldens)
+        return extract_uspto(blob, name=filename), filename, mime, None, {}
+    if content_type == "jats":
+        from .jatsx import extract_jats
+
+        return extract_jats(blob, name=stem), filename, "application/xml", 70, {}
+    if content_type == "asciidoc":
+        from .asciidocx import extract_asciidoc
+
+        return extract_asciidoc(blob, name=stem), filename, "text/asciidoc", 70, {}
+    if content_type == "md":
+        from .mdx import extract_markdown
+
+        return extract_markdown(blob, name=stem), filename, "text/markdown", 70, {}
+    if content_type == "csv":
+        from .csvx import extract_csv
+
+        return extract_csv(blob, name=stem), filename, "text/csv", 70, {}
+    return None
+
+
 def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                  base_uri_mode: str, doc_timeout_s: float,
-                 with_doc_json: bool = False) -> dict:
+                 with_doc_json: bool = False,
+                 with_doctags: bool = False,
+                 with_structure: bool = True) -> dict:
     """One document through its backend; never raises (SURVEY §2.5:
     one bad doc must not kill a task)."""
     t0 = time.perf_counter()
@@ -202,114 +289,32 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
         "n_items": None,
         "n_chars": None,
         "doc_json": None,
+        "doctags": None,
     }
     try:
         if blob is None or len(blob) == 0:
             out["status"] = "skipped"
             out["error"] = "empty document"
-        elif content_type == "html":
-            # local import keeps the Spark driver import light; module-level
-            # caches inside the worker make this once-per-executor
-            from .htmlx.extract import HtmlExtractor
-            from .serialize import to_itxt, to_markdown
+        elif content_type == "pdf":
+            from .pdfx.extract import extract_pdf_text
 
-            base = url if base_uri_mode == "url" else "None"
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = HtmlExtractor(base_uri=base).convert(bytes(blob))
-            doc.name = filename.rsplit(".", 1)[0] or "file"
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(doc, filename, bytes(blob))
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
+            deadline = (
+                time.monotonic() + doc_timeout_s if doc_timeout_s else None
             )
-        elif content_type == "vtt":
-            from .serialize import to_itxt, to_markdown
-            from .vttx import extract_vtt
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_vtt(bytes(blob), name=filename.rsplit(".", 1)[0])
-            # reference vtt goldens are exported with escape_html=False
-            # (tests/test_backend_vtt.py:220)
-            md = to_markdown(doc, escape_html=False)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="text/vtt"
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
+            # structural labeling (pdfx/structure.py: heading levels, list
+            # items, grid tables) is demand-gated: span consumers keep it on,
+            # text-only paths skip grid-detection + heading-ranking work
+            res = extract_pdf_text(
+                bytes(blob), deadline=deadline, with_structure=with_structure
             )
-        elif content_type == "docling_json":
-            from .jsonx import parse_docling_json
-            from .serialize import to_itxt, to_markdown
-
-            doc = parse_docling_json(bytes(blob))
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="application/json"
-                )
+            spans = res.spans
             out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "docx":
-            from .docxx import extract_docx
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_docx(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc,
-                    filename,
-                    bytes(blob),
-                    mimetype=(
-                        "application/vnd.openxmlformats-officedocument."
-                        "wordprocessingml.document"
-                    ),
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
+                status=res.status,
+                extracted_text=res.text,
+                error=res.error,
+                spans=spans,
+                n_items=len(spans) if spans else None,
+                n_chars=len(res.text) if res.text else None,
             )
         elif content_type == "mets_gbs":
             from .metsx import extract_mets_gbs
@@ -321,212 +326,6 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 error=res.error,
                 spans=res.spans,
                 n_items=len(res.spans) if res.spans else None,
-                n_chars=len(res.text) if res.text else None,
-            )
-        elif content_type == "uspto":
-            from .serialize import to_itxt, to_markdown
-            from .usptox import extract_uspto
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_uspto(bytes(blob), name=filename)
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                mime = (
-                    "text/plain"
-                    if bytes(blob).startswith(b"PATN")
-                    else "application/xml"
-                )
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype=mime
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, None),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "jats":
-            from .jatsx import extract_jats
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_jats(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="application/xml"
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "asciidoc":
-            from .asciidocx import extract_asciidoc
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_asciidoc(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="text/asciidoc"
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "pptx":
-            from .pptxx import extract_pptx
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_pptx(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc,
-                    filename,
-                    bytes(blob),
-                    mimetype="application/vnd.ms-powerpoint",
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "xlsx":
-            from .serialize import to_itxt, to_markdown
-            from .xlsxx import extract_xlsx
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_xlsx(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc,
-                    filename,
-                    bytes(blob),
-                    mimetype=(
-                        "application/vnd.openxmlformats-officedocument."
-                        "spreadsheetml.sheet"
-                    ),
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "md":
-            from .mdx import extract_markdown
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_markdown(
-                bytes(blob), name=filename.rsplit(".", 1)[0] or "file"
-            )
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="text/markdown"
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "csv":
-            from .csvx import extract_csv
-            from .serialize import to_itxt, to_markdown
-
-            filename = url.rstrip("/").rsplit("/", 1)[-1] or "file"
-            doc = extract_csv(bytes(blob), name=filename.rsplit(".", 1)[0])
-            md = to_markdown(doc)
-            doc_json = None
-            if with_doc_json:
-                from .serialize_json import to_docling_json
-
-                doc_json = to_docling_json(
-                    doc, filename, bytes(blob), mimetype="text/csv"
-                )
-            out.update(
-                status="success",
-                extracted_text=md,
-                itxt=to_itxt(doc, 70),
-                spans=_doc_to_spans(doc),
-                n_items=len(doc.items),
-                n_chars=len(md),
-                doc_json=doc_json,
-            )
-        elif content_type == "pdf":
-            from .pdfx.extract import extract_pdf_text
-
-            deadline = (
-                time.monotonic() + doc_timeout_s if doc_timeout_s else None
-            )
-            res = extract_pdf_text(
-                bytes(blob), deadline=deadline, with_structure=True
-            )
-            # structured span model: labeled heading/list/table/text blocks
-            # from font-geometry heuristics (pdfx/structure.py), parented so
-            # chunk_spans produces heading-scoped chunks for PDF rows too
-            spans = res.spans
-            out.update(
-                status=res.status,
-                extracted_text=res.text,
-                error=res.error,
-                spans=spans,
-                n_items=len(spans) if spans else None,
                 n_chars=len(res.text) if res.text else None,
             )
         elif content_type == "audio":
@@ -543,8 +342,36 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             out["status"] = "needs_ocr"
             out["error"] = "image input requires OCR (not in contract)"
         else:
-            out["status"] = "skipped"
-            out["error"] = f"unsupported content_type"
+            routed = _doc_backend(content_type, bytes(blob), url, base_uri_mode)
+            if routed is None:
+                out["status"] = "skipped"
+                out["error"] = "unsupported content_type"
+            else:
+                from .serialize import to_itxt, to_markdown
+
+                doc, filename, mimetype, itxt_width, md_kwargs = routed
+                md = to_markdown(doc, **md_kwargs)
+                doc_json = None
+                if with_doc_json:
+                    from .serialize_json import to_docling_json
+
+                    kw = {} if mimetype is None else {"mimetype": mimetype}
+                    doc_json = to_docling_json(doc, filename, bytes(blob), **kw)
+                doctags = None
+                if with_doctags:
+                    from .serialize_doctags import to_doctags
+
+                    doctags = to_doctags(doc)
+                out.update(
+                    status="success",
+                    extracted_text=md,
+                    itxt=to_itxt(doc, itxt_width),
+                    spans=_doc_to_spans(doc),
+                    n_items=len(doc.items),
+                    n_chars=len(md),
+                    doc_json=doc_json,
+                    doctags=doctags,
+                )
     except Exception as e:  # noqa: BLE001 — containment by design
         out["status"] = "failure"
         out["error"] = f"{type(e).__name__}: {e}"[:1000]
@@ -553,12 +380,15 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
 
 
 def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0,
-                     with_doc_json: bool = False):
+                     with_doc_json: bool = False, with_doctags: bool = False,
+                     with_structure: bool = True):
     """Build the mapInPandas function. ``base_uri_mode``: "url" resolves
     relative hrefs against the row's url; "none" mirrors the reference's
     golden-generation default (source_uri=None). ``with_doc_json`` adds the
     full DoclingDocument JSON per row (the reference's save format) — off by
-    default since it roughly doubles output bytes."""
+    default since it roughly doubles output bytes. ``with_doctags`` adds the
+    DocTags serialization (reference OutputFormat.DOCTAGS). ``with_structure``
+    gates the PDF structural labeler (off = text-only fast path)."""
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_in in batches:
@@ -567,6 +397,8 @@ def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0,
                 res = _extract_one(
                     r.url, r.html, r.content_type, base_uri_mode, doc_timeout_s,
                     with_doc_json=with_doc_json,
+                    with_doctags=with_doctags,
+                    with_structure=with_structure,
                 )
                 rows.append(
                     {
@@ -590,6 +422,8 @@ def extract_pages(
     shuffle_partitions: Optional[int] = None,
     salt: int = 0,
     with_doc_json: bool = False,
+    with_doctags: bool = False,
+    with_structure: bool = True,
     doc_timeout_s: float = 60.0,
 ) -> DataFrame:
     """Logical plan for one extraction pass (no side effects).
@@ -616,6 +450,8 @@ def extract_pages(
         base_uri_mode=base_uri_mode,
         doc_timeout_s=doc_timeout_s,
         with_doc_json=with_doc_json,
+        with_doctags=with_doctags,
+        with_structure=with_structure,
     )
     cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
     return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)

@@ -30,6 +30,9 @@ def parse_docling_json(raw: bytes | str) -> SpanDoc:
     if d.get("schema_name") != "DoclingDocument":
         raise ValueError("not a DoclingDocument JSON")
     doc = SpanDoc(d.get("name", "doc"))
+    for no, p in d.get("pages", {}).items():
+        sz = p.get("size", {})
+        doc.pages[int(no)] = (sz.get("width", 0.0), sz.get("height", 0.0))
 
     # create one Item per array entry, array-by-array: re-serialization
     # assigns per-kind positions by scan order over doc.items, so any global
@@ -57,6 +60,10 @@ def parse_docling_json(raw: bytes | str) -> SpanDoc:
         it = doc.items[idx_of[(arr, i)]]
         it.parent = resolve(obj.get("parent", {}).get("$ref", "#/body"))
         it.children = [resolve(c["$ref"]) for c in obj.get("children", [])]
+        if obj.get("prov"):
+            it.prov_list = obj["prov"]
+        if obj.get("code_language"):
+            it.code_language = obj["code_language"]
         kind = _KIND[arr]
         if kind == "group":
             it.name = obj.get("name", "group")

@@ -83,6 +83,12 @@ class Item:
     # provenance: (page_no, l, t, r, b) in source units (e.g. xlsx cell
     # indices), TOPLEFT origin — None for backends without positions
     prov: Optional[tuple] = None
+    # full-fidelity provenance list (raw DoclingDocument prov dicts, each
+    # {page_no, bbox{l,t,r,b,coord_origin}, charspan}) — populated by the
+    # JSON backend for serializers that need bboxes (doctags)
+    prov_list: Optional[list] = None
+    # code block language label ("unknown" unless the source declares one)
+    code_language: str = "unknown"
 
 
 class SpanDoc:

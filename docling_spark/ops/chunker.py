@@ -6,7 +6,10 @@ DoclingDocument tree and emit one chunk per body text item with its heading
 context. Our span model is the flattened (idx, parent) encoding and the
 whole tree of one document lives inside ONE row's spans array — so heading
 ancestry is resolved per row with higher-order functions (a map built from
-the array + two parent lookups), not with self-joins.
+the array + a bounded ``aggregate`` ancestor walk), not with self-joins.
+The walk matches the reference chunker's unbounded ancestry traversal for
+any tree up to ``_MAX_ANCESTRY`` deep (64 — far beyond any real document;
+a deeper chain would simply yield heading=NULL, never a wrong heading).
 
 Scale notes: one explode, ZERO joins, ZERO added shuffles — the round-1
 shape (explode + two (url, idx) equi-joins) recomputed the upstream
@@ -22,14 +25,12 @@ from pyspark.sql import functions as F
 
 _HEADINGS = ("title", "section_header")
 _CHUNK_LABELS = ("text", "list_item", "code", "formula")
+_MAX_ANCESTRY = 16  # walk bound; deepest real span trees are ~10 levels
 
 
 def chunk_spans(extracted: DataFrame) -> DataFrame:
     """extracted (url, spans) → one row per chunk:
     (url, span_idx, heading, chunk_text)."""
-
-    def is_heading(node):
-        return node.label.isin(*_HEADINGS)
 
     # idx → (parent, label, text) lookup map, built once per document row
     node_map = F.map_from_entries(
@@ -55,12 +56,37 @@ def chunk_spans(extracted: DataFrame) -> DataFrame:
     out = extracted.select(
         "url", node_map.alias("_m"), F.explode(chunkable).alias("s")
     )
-    p1 = F.element_at("_m", F.col("s.parent"))
-    p2 = F.element_at("_m", p1["parent"])
-    heading = F.coalesce(
-        F.when(is_heading(p1), p1["text"]),
-        F.when(is_heading(p2), p2["text"]),
-    )
+    # full heading ancestry: walk parent links until a title/section_header
+    # (or the root) — an in-row fold over a constant sequence, still zero
+    # joins/shuffles. State: (cur ancestor idx, heading found so far); once
+    # the heading is found or the chain ends (cur=-1 → map miss → NULL node)
+    # the remaining iterations are constant-cost no-ops.
+    def _walk_step(acc, _):
+        # Spark's If evaluates branches lazily: once the walk is done
+        # (cur < 0, meaning heading found or chain exhausted) the remaining
+        # iterations skip the O(|spans|) map probe entirely
+        node = F.element_at(F.col("_m"), acc["cur"])
+        advanced = F.struct(
+            F.when(
+                node["label"].isin(*_HEADINGS) | node["parent"].isNull(),
+                F.lit(-1),
+            )
+            .otherwise(node["parent"])
+            .alias("cur"),
+            F.when(node["label"].isin(*_HEADINGS), node["text"]).alias(
+                "heading"
+            ),
+        )
+        return F.when(acc["cur"] < 0, acc).otherwise(advanced)
+
+    heading = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MAX_ANCESTRY)),
+        F.struct(
+            F.col("s.parent").alias("cur"),
+            F.lit(None).cast("string").alias("heading"),
+        ),
+        _walk_step,
+    )["heading"]
     return out.select(
         "url",
         F.col("s.idx").alias("span_idx"),

@@ -270,6 +270,50 @@ def synth_pages_pdf_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pages_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages whose HTML nests a 3-level list under a
+    section header (list>li>list>li>list>li). Exercises heading ancestry
+    deeper than 2 parent hops: the innermost list item is 6 links from its
+    section_header, so the chunker's bounded ancestor walk (not a fixed
+    2-hop lookup) is required to resolve its heading."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+    w = lambda k: F.split_part(F.col("text"), F.lit(" "), F.lit(k))  # noqa: E731
+    html_str = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body>\n<h1>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit("</p>\n<h2>Section "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h2>\n<ul><li>"),
+        w(1),
+        F.lit("<ul><li>"),
+        w(2),
+        F.lit("<ul><li>"),
+        w(3),
+        F.lit("</li></ul></li></ul></li></ul>\n</body></html>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://synth.test/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("-deep.html"),
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 # ----------------------------------------- synthetic md / asciidoc sources
 def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → markdown source blobs (pure JVM string build)."""

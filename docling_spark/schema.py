@@ -75,6 +75,7 @@ EXTRACTED_SCHEMA = StructType(
         StructField("n_chars", IntegerType(), True),
         StructField("proc_ms", DoubleType(), True),
         StructField("doc_json", StringType(), True),  # DoclingDocument JSON
+        StructField("doctags", StringType(), True),  # DocTags serialization
     ]
 )
 

@@ -53,9 +53,14 @@ def test_chunk_spans_no_joins_no_extra_exchange(spark):
     df = entry.q_chunk_spans(spark, SF)
     plan = _plan(df)
     assert "Join" not in plan
-    # same single exchange as the bare extraction pipeline
-    assert plan.count("Exchange") == 1
+    # the chunker adds NO exchange of its own: the two exchanges are the
+    # shallow+deep corpus synthesizers' upstream repartitions (one per
+    # union branch), and both extraction UDFs feed one downstream pass
+    assert plan.count("Exchange") == 2
     assert plan.count("MapInPandas") == 1
+    # the ancestry walk is in-row expression work (aggregate over the spans
+    # map) — visible in the plan, with no generated shuffle
+    assert "aggregate(" in plan
 
 
 def test_broadcast_enrich_uses_broadcast_join(spark):
