@@ -91,6 +91,36 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "extracted_text", "n_chars")
 
 
+def q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypted-PDF password path (standard security handler, pdfx/crypt):
+    the same RC4-locked corpus extracted WITH the password must byte-match
+    the plaintext PDFs' text, and WITHOUT it must fail row-by-row with the
+    explicit encrypted error — never crash a task."""
+    from docling_spark.ops.corpus import synth_pages_pdf_encrypted
+
+    pages = synth_pages_pdf_encrypted(spark, sf_dir, password="sesame")
+    with_pw = extract_pages(
+        pages, base_uri_mode="none", with_structure=False,
+        pdf_password="sesame",
+    ).select(
+        "url",
+        F.lit("with_password").alias("attempt"),
+        "status",
+        "extracted_text",
+        "error",
+    )
+    without_pw = extract_pages(
+        pages, base_uri_mode="none", with_structure=False
+    ).select(
+        "url",
+        F.lit("no_password").alias("attempt"),
+        "status",
+        "extracted_text",
+        "error",
+    )
+    return with_pw.unionByName(without_pw)
+
+
 def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML ∪ PDF corpus → content sniffing → per-branch counts."""
     from docling_spark.ops.corpus import synth_pages_pdf
@@ -515,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_pipeline": q_extract_pipeline,
         "pdf_extract": q_pdf_extract,
+        "pdf_encrypted": q_pdf_encrypted,
         "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
@@ -682,6 +713,20 @@ def oracle_sql() -> dict[str, str]:
                    'success' AS status,
                    'Document ' || doc_id || chr(10) || chr(10) || text AS extracted_text,
                    length('Document ' || doc_id || chr(10) || chr(10) || text) AS n_chars
+            FROM documents
+        """,
+        "pdf_encrypted": """
+            SELECT 'https://synth.test/doc/' || doc_id || '-enc.pdf' AS url,
+                   'with_password' AS attempt,
+                   'success' AS status,
+                   'Document ' || doc_id || chr(10) || chr(10) || text
+                       AS extracted_text,
+                   NULL AS error
+            FROM documents
+            UNION ALL
+            SELECT 'https://synth.test/doc/' || doc_id || '-enc.pdf',
+                   'no_password', 'failure', NULL,
+                   'encrypted PDF: wrong or missing password'
             FROM documents
         """,
         "mixed_dispatch": """

@@ -31,6 +31,11 @@ def convert_main(argv: list[str]) -> int:
         help="comma list of md,itxt,json,text,html,doctags",
     )
     p.add_argument("--output", default=".", help="output directory")
+    p.add_argument(
+        "--pdf-password",
+        default="",
+        help="password for encrypted PDFs (standard security handler)",
+    )
     args = p.parse_args(argv)
 
     from pathlib import Path
@@ -50,7 +55,7 @@ def convert_main(argv: list[str]) -> int:
         doc = None
         try:
             if raw[:5] == b"%PDF-" or path.suffix.lower() == ".pdf":
-                res = extract_pdf_text(raw)
+                res = extract_pdf_text(raw, password=args.pdf_password)
                 if res.status in ("failure",):
                     raise RuntimeError(res.error or res.status)
                 outputs = {"md": res.text, "text": res.text, "itxt": None, "json": None}
@@ -236,6 +241,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--base-uri-mode", choices=["none", "url"], default="none")
     p.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
     p.add_argument("--no-dedup-latest", action="store_true")
+    p.add_argument("--pdf-password", default="")
     p.add_argument("--master", default=None, help="only for local runs; under spark-submit leave unset")
     args = p.parse_args(argv)
 
@@ -259,6 +265,7 @@ def main(argv: list[str] | None = None) -> int:
         base_uri_mode=args.base_uri_mode,
         max_bytes=args.max_bytes,
         dedup_latest=not args.no_dedup_latest,
+        pdf_password=args.pdf_password,
     )
     stats = ExtractionRunner(spark, cfg).run(pages)
     print(json.dumps({"run_id": args.run_id, **stats}))

@@ -276,7 +276,8 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                  base_uri_mode: str, doc_timeout_s: float,
                  with_doc_json: bool = False,
                  with_doctags: bool = False,
-                 with_structure: bool = True) -> dict:
+                 with_structure: bool = True,
+                 pdf_password: str = "") -> dict:
     """One document through its backend; never raises (SURVEY §2.5:
     one bad doc must not kill a task)."""
     t0 = time.perf_counter()
@@ -305,7 +306,10 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             # items, grid tables) is demand-gated: span consumers keep it on,
             # text-only paths skip grid-detection + heading-ranking work
             res = extract_pdf_text(
-                bytes(blob), deadline=deadline, with_structure=with_structure
+                bytes(blob),
+                deadline=deadline,
+                with_structure=with_structure,
+                password=pdf_password,
             )
             spans = res.spans
             out.update(
@@ -381,7 +385,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
 
 def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0,
                      with_doc_json: bool = False, with_doctags: bool = False,
-                     with_structure: bool = True):
+                     with_structure: bool = True, pdf_password: str = ""):
     """Build the mapInPandas function. ``base_uri_mode``: "url" resolves
     relative hrefs against the row's url; "none" mirrors the reference's
     golden-generation default (source_uri=None). ``with_doc_json`` adds the
@@ -399,6 +403,7 @@ def make_extract_udf(base_uri_mode: str = "none", doc_timeout_s: float = 60.0,
                     with_doc_json=with_doc_json,
                     with_doctags=with_doctags,
                     with_structure=with_structure,
+                    pdf_password=pdf_password,
                 )
                 rows.append(
                     {
@@ -425,6 +430,7 @@ def extract_pages(
     with_doctags: bool = False,
     with_structure: bool = True,
     doc_timeout_s: float = 60.0,
+    pdf_password: str = "",
 ) -> DataFrame:
     """Logical plan for one extraction pass (no side effects).
 
@@ -452,6 +458,7 @@ def extract_pages(
         with_doc_json=with_doc_json,
         with_doctags=with_doctags,
         with_structure=with_structure,
+        pdf_password=pdf_password,
     )
     cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
     return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)
@@ -467,6 +474,7 @@ class RunConfig:
     max_bytes: int = 64 * 1024 * 1024
     shuffle_partitions: Optional[int] = None
     dedup_latest: bool = True
+    pdf_password: str = ""  # standard-security-handler password (pdfx/crypt)
 
 
 class ExtractionRunner:
@@ -535,6 +543,7 @@ class ExtractionRunner:
                 max_bytes=cfg.max_bytes,
                 shuffle_partitions=shuffle_partitions,
                 salt=k,
+                pdf_password=cfg.pdf_password,
             )
             path = f"{cfg.output_path}/data/run_id={cfg.run_id}/chunk_id={k}"
             out.write.mode("overwrite").parquet(path)

@@ -164,6 +164,49 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pages_pdf_encrypted(
+    spark: SparkSession, sf_dir: str, password: str = "sesame"
+) -> DataFrame:
+    """documents.parquet → RC4-encrypted (standard security handler V2/R3)
+    variants of the synthetic PDFs, all locked with ``password``. Extracting
+    with the right password must byte-match the plaintext corpus; without it
+    every row must fail cleanly."""
+    import pandas as pd
+
+    from ..pdfx.crypt import encrypt_pdf_rc4
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/doc/{i}-enc.pdf"
+                        for i in b["doc_id"]
+                    ],
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.to_timedelta(b["doc_id"], unit="s"),
+                    "html": [
+                        encrypt_pdf_rc4(synth_pdf_bytes(int(i), t), password)
+                        for i, t in zip(b["doc_id"], b["text"])
+                    ],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
 # ------------------------------------------------- structured synthetic PDFs
 def synth_pdf_structured_bytes(doc_id: int, text: str) -> bytes:
     """Deterministic one-page PDF exercising the full structural labeler

@@ -24,22 +24,31 @@ def extract_pdf_text(
     blob: bytes,
     deadline: Optional[float] = None,
     with_structure: bool = False,
+    password: "str | bytes" = "",
 ) -> PdfResult:
     """bytes → reading-ordered text. Never raises.
 
     ``deadline`` (a ``time.monotonic()`` instant) is the per-document
     wall-clock guard: checked before each page, mirroring the reference's
     in-loop timeout (/root/reference/docling/pipeline/base_pipeline.py:254-262)
-    — a pathological page stops the document, not the Spark task."""
+    — a pathological page stops the document, not the Spark task.
+
+    ``password`` unlocks standard-security-handler encrypted PDFs
+    (reference: backend_options.py:71 threads a password into pdfium; here
+    pdfx/crypt.py implements the public-spec handler). The default empty
+    password also opens owner-locked documents with a blank user password;
+    a wrong/missing password yields a clean failure row."""
     import time
 
     try:
+        from .crypt import PdfPasswordError
         from .parser import PdfDocument
         from .layout import page_cells_to_text
 
-        pdf = PdfDocument(blob)
-        if pdf.trailer.get("Encrypt") is not None:
-            return PdfResult(status="failure", error="encrypted PDF")
+        try:
+            pdf = PdfDocument(blob, password=password)
+        except PdfPasswordError as e:
+            return PdfResult(status="failure", error=f"encrypted PDF: {e}")
         page_texts = []
         needs_ocr_pages = 0
         pages_meta = []

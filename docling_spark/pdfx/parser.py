@@ -44,15 +44,25 @@ class Name(str):
 
 
 class Stream:
-    __slots__ = ("dict", "raw", "_doc")
+    __slots__ = ("dict", "raw", "_doc", "num", "gen")
 
-    def __init__(self, d: dict, raw: bytes, doc: "PdfDocument"):
+    def __init__(
+        self, d: dict, raw: bytes, doc: "PdfDocument", num: int = 0, gen: int = 0
+    ):
         self.dict = d
         self.raw = raw
         self._doc = doc
+        self.num = num
+        self.gen = gen
 
     def data(self) -> bytes:
-        return _decode_stream(self.dict, self.raw, self._doc)
+        raw = self.raw
+        crypt = getattr(self._doc, "_crypt", None)
+        if crypt is not None:
+            # xref streams are never encrypted, but they are also only read
+            # during __init__ before _crypt exists, so no special-casing
+            raw = crypt.decrypt(raw, self.num, self.gen)
+        return _decode_stream(self.dict, raw, self._doc)
 
 
 def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:
@@ -365,18 +375,32 @@ class Lexer:
 class PdfDocument:
     """Lazy object store + page tree over one PDF blob."""
 
-    def __init__(self, blob: bytes):
+    def __init__(self, blob: bytes, password: "str | bytes" = ""):
         self.buf = blob
         self.xref: dict[int, tuple] = {}  # num -> ("f", offset) | ("c", objstm_num, idx)
         self.trailer: dict = {}
         self._cache: dict[int, Any] = {}
         self._objstm_cache: dict[int, dict[int, Any]] = {}
+        self._crypt = None
         try:
             self._load_xref()
         except Exception:
             self.xref = {}
         if not self.xref or "Root" not in self.trailer:
             self._scan_objects()
+        encref = self.trailer.get("Encrypt")
+        if encref is not None:
+            # build the standard security handler (raises PdfPasswordError
+            # when the password — default: the empty user password, which
+            # unlocks most "owner-locked" PDFs — does not authenticate).
+            # The /Encrypt dict itself and /ID are never encrypted.
+            from .crypt import make_handler
+
+            enc = self.resolve(encref)
+            ids = self.resolve(self.trailer.get("ID")) or [b""]
+            id0 = bytes(ids[0]) if ids else b""
+            if isinstance(enc, dict):
+                self._crypt = make_handler(enc, id0, password)
 
     # ---------------------------------------------------------------- xref
     def _load_xref(self) -> None:
@@ -500,6 +524,7 @@ class PdfDocument:
             m = re.compile(rb"(\d+)\s+(\d+)\s+obj").match(self.buf, lx0.pos)
             if not m:
                 raise ValueError(f"no obj at {off}")
+        num, gen = int(m.group(1)), int(m.group(2))
         lx = Lexer(self.buf)
         lx.pos = m.end()
         obj = lx.parse_object()
@@ -511,10 +536,26 @@ class PdfDocument:
                 # validate: endstream should follow (some writers lie in /Length)
                 tailpos = data_start + int(length)
                 if self.buf[tailpos : tailpos + 20].lstrip(b"\r\n \t").startswith(b"endstream"):
-                    return Stream(d, raw, self)
+                    return Stream(d, raw, self, num, gen)
             e = self.buf.find(b"endstream", data_start)
             raw = self.buf[data_start : e if e >= 0 else len(self.buf)]
-            return Stream(d, raw.rstrip(b"\r\n"), self)
+            return Stream(d, raw.rstrip(b"\r\n"), self, num, gen)
+        if self._crypt is not None:
+            obj = self._decrypt_strings(obj, num, gen)
+        return obj
+
+    def _decrypt_strings(self, obj: Any, num: int, gen: int) -> Any:
+        """Strings in directly-addressed objects are encrypted (spec
+        §7.6.2); strings inside object streams are NOT (the container
+        stream already was), so only _parse_indirect_at calls this."""
+        if isinstance(obj, Name):
+            return obj
+        if isinstance(obj, bytes):
+            return self._crypt.decrypt(obj, num, gen)
+        if isinstance(obj, dict):
+            return {k: self._decrypt_strings(v, num, gen) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [self._decrypt_strings(v, num, gen) for v in obj]
         return obj
 
     def get(self, num: int) -> Any:

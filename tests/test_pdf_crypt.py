@@ -1,0 +1,145 @@
+"""Encrypted-PDF password support (pdfx/crypt.py).
+
+Reference parity: password-protected fixtures live in
+/root/reference/tests/data/pdf_password (user pw 1234 / owner pw owner, see
+its README); the reference threads the password to pdfium
+(docling/backend/docling_parse_v4_backend.py:201-208) while here the
+standard security handler is implemented from the public PDF 32000 spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pytest
+
+from docling_spark.ops.corpus import synth_pdf_bytes
+from docling_spark.pdfx.crypt import (
+    PdfPasswordError,
+    StandardSecurityHandler,
+    _aes_decrypt_cbc,
+    _aes_encrypt_cbc_nopad,
+    _py_aes_cbc_decrypt,
+    _py_aes_cbc_encrypt,
+    encrypt_pdf_rc4,
+    make_handler,
+)
+from docling_spark.pdfx.extract import extract_pdf_text
+
+FIXTURE = Path("/root/reference/tests/data/pdf_password/2206.01062_pg3.pdf")
+
+
+# --------------------------------------------------- reference AESV2 fixture
+def test_fixture_user_password():
+    r = extract_pdf_text(FIXTURE.read_bytes(), password="1234")
+    assert r.status == "success"
+    assert "DocLayNet" in r.text
+
+
+def test_fixture_owner_password():
+    r = extract_pdf_text(FIXTURE.read_bytes(), password="owner")
+    assert r.status == "success"
+    assert "DocLayNet" in r.text
+
+
+@pytest.mark.parametrize("pw", ["", "wrong", "12345"])
+def test_fixture_wrong_password_clean_failure(pw):
+    r = extract_pdf_text(FIXTURE.read_bytes(), password=pw)
+    assert r.status == "failure"
+    assert "encrypted PDF" in r.error
+
+
+# ------------------------------------------------------ RC4 round-trip (R3)
+def test_rc4_roundtrip_matches_plaintext():
+    plain = synth_pdf_bytes(42, "alpha beta gamma delta epsilon zeta")
+    want = extract_pdf_text(plain).text
+    enc = encrypt_pdf_rc4(plain, "secret")
+    assert enc != plain and b"/Encrypt" in enc
+    r = extract_pdf_text(enc, password="secret")
+    assert r.status == "success" and r.text == want
+
+
+def test_rc4_wrong_password_fails():
+    enc = encrypt_pdf_rc4(synth_pdf_bytes(1, "one two three"), "secret")
+    r = extract_pdf_text(enc, password="nope")
+    assert r.status == "failure" and "encrypted" in r.error
+    r2 = extract_pdf_text(enc)  # no password at all
+    assert r2.status == "failure"
+
+
+def test_blank_user_password_opens_owner_locked():
+    """Owner-locked PDFs with an empty user password open by default —
+    the common 'print-restricted' case."""
+    plain = synth_pdf_bytes(3, "restricted but readable content")
+    enc = encrypt_pdf_rc4(plain, "", "ownerpw")
+    r = extract_pdf_text(enc)  # default empty password
+    assert r.status == "success"
+    assert r.text == extract_pdf_text(plain).text
+    # and the owner password itself also authenticates
+    r2 = extract_pdf_text(enc, password="ownerpw")
+    assert r2.status == "success"
+
+
+def test_40bit_rc4():
+    enc = encrypt_pdf_rc4(
+        synth_pdf_bytes(9, "forty bit legacy key"), "pw", key_bits=40
+    )
+    assert extract_pdf_text(enc, password="pw").status == "success"
+
+
+# ----------------------------------------------- pure-Python AES fallback
+def test_py_aes_matches_cryptography():
+    pytest.importorskip("cryptography")
+    for klen in (16, 32):
+        key = hashlib.sha256(b"k" * klen).digest()[:klen]
+        iv = hashlib.md5(b"iv").digest()
+        data = hashlib.sha512(b"data").digest()  # 64 bytes, block-aligned
+        assert _py_aes_cbc_encrypt(key, iv, data) == _aes_encrypt_cbc_nopad(
+            key, iv, data
+        )
+        ct = _aes_encrypt_cbc_nopad(key, iv, data)
+        assert _py_aes_cbc_decrypt(key, iv, ct) == _aes_decrypt_cbc(
+            key, iv, ct
+        )
+
+
+# --------------------------------------------- AES-256 (R6) key derivation
+def _build_r6_dict(user_pw: bytes, file_key: bytes) -> dict:
+    """Construct a valid R6 /Encrypt dict for ``user_pw`` (the encrypt side
+    of spec Algorithms 8/9, built here only to exercise the auth side)."""
+    h = StandardSecurityHandler.__new__(StandardSecurityHandler)
+    h.r = 6
+    uvsalt, uksalt = b"VSALT8xx", b"KSALT8yy"
+    U = h._hash_2b(user_pw, uvsalt, b"") + uvsalt + uksalt
+    ik = h._hash_2b(user_pw, uksalt, b"")
+    UE = _aes_encrypt_cbc_nopad(ik, b"\x00" * 16, file_key)
+    ovsalt, oksalt = b"OVSALTxx", b"OKSALTyy"
+    O = h._hash_2b(b"ownerpw", ovsalt, U[:48]) + ovsalt + oksalt
+    oik = h._hash_2b(b"ownerpw", oksalt, U[:48])
+    OE = _aes_encrypt_cbc_nopad(oik, b"\x00" * 16, file_key)
+    return {
+        "Filter": "Standard",
+        "V": 5,
+        "R": 6,
+        "Length": 256,
+        "O": O,
+        "U": U,
+        "OE": OE,
+        "UE": UE,
+        "P": -4,
+        "CF": {"StdCF": {"CFM": "AESV3"}},
+        "StmF": "StdCF",
+        "StrF": "StdCF",
+    }
+
+
+def test_r6_user_and_owner_auth_recover_file_key():
+    file_key = hashlib.sha256(b"the-file-key").digest()
+    enc = _build_r6_dict(b"hunter2", file_key)
+    h = make_handler(enc, b"", "hunter2")
+    assert h.key == file_key
+    h2 = make_handler(enc, b"", "ownerpw")
+    assert h2.key == file_key
+    with pytest.raises(PdfPasswordError):
+        make_handler(enc, b"", "wrong")
