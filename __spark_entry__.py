@@ -296,6 +296,14 @@ def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "content_type", "extracted_text")
 
 
+def q_ofd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFD backend (GB/T 33190 zip, ofdx.py) through the full Spark job."""
+    from docling_spark.ops.corpus import synth_pages_ofd
+
+    out = extract_pages(synth_pages_ofd(spark, sf_dir), base_uri_mode="none")
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
 def q_asciidoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AsciiDoc backend through the full Spark job."""
     from docling_spark.ops.corpus import synth_pages_asciidoc
@@ -560,6 +568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_struct_spans": q_pdf_struct_spans,
         "pdf_chunks": q_pdf_chunks,
         "md_extract": q_md_extract,
+        "ofd_extract": q_ofd_extract,
         "asciidoc_extract": q_asciidoc_extract,
         "docx_extract": q_docx_extract,
         "xlsx_extract": q_xlsx_extract,
@@ -876,6 +885,13 @@ def oracle_sql() -> dict[str, str]:
                    || '- ' || split_part(text, ' ', 1) || chr(10)
                    || '- ' || split_part(text, ' ', 2) || chr(10)
                    || '- ' || split_part(text, ' ', 3) AS extracted_text
+            FROM documents
+        """,
+        "ofd_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.ofd' AS url,
+                   'success' AS status, 'ofd' AS content_type,
+                   '# Document ' || doc_id || chr(10) || chr(10) || text
+                       AS extracted_text
             FROM documents
         """,
         "asciidoc_extract": """

@@ -180,6 +180,20 @@ def convert_main(argv: list[str]) -> int:
                         doc, path.name, raw, mimetype="text/markdown"
                     ),
                 }
+            elif path.suffix.lower() == ".ofd" or (
+                raw[:2] == b"PK" and b"OFD.xml" in raw
+            ):
+                from .ofdx import extract_ofd
+
+                doc = extract_ofd(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc, path.name, raw, mimetype="application/zip"
+                    ),
+                }
             elif path.suffix.lower() == ".csv":
                 from .csvx import extract_csv
 

@@ -88,6 +88,12 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
             ),
             "uspto",
         )
+        .when(ext == "ofd", "ofd")
+        .when(
+            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            & F.contains(F.col("html"), F.lit(b"OFD.xml")),
+            "ofd",
+        )
         .when(ext == "docx", "docx")
         .when(ext.isin("xlsx", "xlsm"), "xlsx")
         .when(ext.isin("pptx", "pptm", "potx"), "pptx")
@@ -269,6 +275,12 @@ def _doc_backend(content_type: str, blob: bytes, url: str, base_uri_mode: str):
         from .csvx import extract_csv
 
         return extract_csv(blob, name=stem), filename, "text/csv", 70, {}
+    if content_type == "ofd":
+        from .ofdx import extract_ofd
+
+        # reference OFD origin mimetype is application/zip
+        # (ofd_backend.py:581)
+        return extract_ofd(blob, name=stem), filename, "application/zip", 70, {}
     return None
 
 

@@ -1,0 +1,363 @@
+"""OFD (Open Fixed-layout Document, GB/T 33190) backend — deterministic subset.
+
+Reference parity: OFDDocumentBackend + OFDZipParser
+(/root/reference/docling/backend/ofd_backend.py:1-662,
+/root/reference/docling/backend/ofd_parser.py:1-440). The reference's
+pipeline is zip → OFD.xml → DocRoot → Document.xml → per-page Content.xml
+TextObjects, then deterministic line grouping / paragraph building; on top
+of that it optionally runs a fonttools glyph decoder and a RapidOCR
+fallback for Private-Use-Area (PUA) codepoints. Those two are font/NN
+paths (both optional in the reference too — it logs "fonttools not
+available, PUA character decoding disabled" and carries on); here the
+deterministic remainder is replicated exactly: PUA characters are stripped
+when a cleaned text survives (ofd_backend.py:372-380), and blocks whose
+text is entirely PUA keep their raw text, mirroring the reference's
+fallthrough.
+
+Structure produced: optional title (DocInfo metadata), one "text" item per
+reconstructed paragraph, one picture per referenced image object —
+matching the reference's doc.add_title/add_text(PARAGRAPH)/add_picture
+sequence (ofd_backend.py:602-646).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import xml.etree.ElementTree as ET
+import zipfile
+from dataclasses import dataclass, field
+from io import BytesIO
+from typing import Dict, List, Optional, Tuple
+
+from .model import SpanDoc
+
+_DEFAULT_NS = "http://www.ofdspec.org/2016"
+
+
+def looks_like_ofd(raw: bytes) -> bool:
+    """Cheap container probe (reference _probe_validity checks for OFD.xml)."""
+    if raw[:2] != b"PK":
+        return False
+    return b"OFD.xml" in raw
+
+
+def _to_float(value: Optional[str]) -> Optional[float]:
+    if value is None:
+        return None
+    value = value.strip()
+    if not value:
+        return None
+    try:
+        return float(value)
+    except ValueError:
+        return None
+
+
+def _parse_boundary(boundary: Optional[str]) -> Tuple[float, float, float, float]:
+    if not boundary:
+        return (0.0, 0.0, 0.0, 0.0)
+    tokens = [t for t in boundary.replace(",", " ").split() if t]
+    if len(tokens) != 4:
+        return (0.0, 0.0, 0.0, 0.0)
+    try:
+        return tuple(float(t) for t in tokens)  # type: ignore[return-value]
+    except ValueError:
+        return (0.0, 0.0, 0.0, 0.0)
+
+
+def _normalize_posix(path: str) -> str:
+    parts: List[str] = []
+    for part in path.split("/"):
+        if part in ("", "."):
+            continue
+        if part == "..":
+            if parts:
+                parts.pop()
+            continue
+        parts.append(part)
+    return "/".join(parts)
+
+
+def _resolve_path(
+    document_dir: str, base_loc: Optional[str], target: Optional[str]
+) -> Optional[str]:
+    if not target or not target.strip():
+        return None
+    target = target.strip()
+    if target.startswith("/"):
+        return _normalize_posix(target)
+    base = document_dir
+    if base_loc:
+        if base_loc.startswith("/"):
+            base = _normalize_posix(base_loc)
+        else:
+            base = _normalize_posix(posixpath.join(document_dir, base_loc))
+    return _normalize_posix(posixpath.join(base, target))
+
+
+def _detect_ns(root: ET.Element) -> Dict[str, str]:
+    if "}" in root.tag:
+        return {"ofd": root.tag.split("}")[0][1:]}
+    return {"ofd": _DEFAULT_NS}
+
+
+@dataclass
+class _TextItem:
+    text: str
+    x: float
+    y: float
+    width: float
+    height: float
+    font_size: float
+
+
+@dataclass
+class _Page:
+    text_items: List[_TextItem] = field(default_factory=list)
+    image_resource_ids: List[str] = field(default_factory=list)
+
+
+def _is_pua(ch: str) -> bool:
+    return 0xE000 <= ord(ch) <= 0xF8FF
+
+
+def _estimate_text_width(text: str, font_size: Optional[float]) -> float:
+    # reference ofd_backend.py:145-149
+    if font_size is None or font_size <= 0:
+        font_size = 6.0
+    return font_size * 0.6 * max(len(text), 1)
+
+
+def _decode_block_text(raw_text: str) -> str:
+    """PUA handling without the glyph/OCR decoders (ofd_backend.py:366-380):
+    strip PUA codepoints when a non-empty cleaned text remains, otherwise
+    keep the raw text."""
+    if not any(_is_pua(c) for c in raw_text):
+        return raw_text
+    cleaned = "".join(c for c in raw_text if not _is_pua(c)).strip()
+    return cleaned if cleaned else raw_text
+
+
+def _merge_line_text(line_items: List[_TextItem]) -> str:
+    # reference ofd_backend.py:441-454 (gap > max(font*0.6, 0.8) → space)
+    pieces: List[str] = []
+    prev_end: Optional[float] = None
+    for item in line_items:
+        width = (
+            item.width
+            if item.width > 0
+            else _estimate_text_width(item.text, item.font_size)
+        )
+        if prev_end is not None:
+            gap = item.x - prev_end
+            threshold = max(item.font_size * 0.6, 0.8)
+            if gap > threshold:
+                pieces.append(" ")
+        pieces.append(item.text)
+        prev_end = item.x + width
+    return "".join(pieces)
+
+
+def _group_lines(items: List[_TextItem]) -> List[dict]:
+    # reference ofd_backend.py:456-497: y-sort, vertical-gap clustering with
+    # threshold max(heights, font)*0.6 + 0.8
+    if not items:
+        return []
+    sorted_items = sorted(items, key=lambda i: (round(i.y, 3), i.x))
+    grouped: List[List[_TextItem]] = []
+    current: List[_TextItem] = []
+    current_top: Optional[float] = None
+    current_height: Optional[float] = None
+    for item in sorted_items:
+        top, height = item.y, item.height
+        if current:
+            vertical_gap = abs(top - current_top)
+            threshold = (
+                max(current_height, height, item.font_size or height, 1.0) * 0.6
+                + 0.8
+            )
+            if vertical_gap <= threshold:
+                current.append(item)
+                current_top = min(current_top, top)
+                current_height = max(current_height, height)
+            else:
+                grouped.append(current)
+                current, current_top, current_height = [item], top, height
+        else:
+            current, current_top, current_height = [item], top, height
+    if current:
+        grouped.append(current)
+    out: List[dict] = []
+    for line in grouped:
+        line.sort(key=lambda i: i.x)
+        text = _merge_line_text(line).strip()
+        if not text:
+            continue
+        out.append(
+            {
+                "text": text,
+                "top": min(i.y for i in line),
+                "height": max(i.height for i in line),
+            }
+        )
+    return out
+
+
+def _build_paragraphs(lines: List[dict]) -> List[str]:
+    # reference ofd_backend.py:499-528: paragraph break when the vertical
+    # gap exceeds 1.4x the line height
+    if not lines:
+        return []
+    paragraphs: List[str] = []
+    current_lines: List[str] = []
+    prev_top: Optional[float] = None
+    prev_height: Optional[float] = None
+    for entry in lines:
+        text, top, height = entry["text"], entry["top"], entry["height"]
+        if prev_top is None:
+            current_lines = [text]
+        else:
+            gap = top - prev_top
+            threshold = max(prev_height or height, height, 1.0) * 1.4
+            if gap > threshold:
+                paragraphs.append(" ".join(current_lines).strip())
+                current_lines = [text]
+            else:
+                current_lines.append(text)
+        prev_top, prev_height = top, height
+    if current_lines:
+        paragraphs.append(" ".join(current_lines).strip())
+    return [p for p in paragraphs if p]
+
+
+class _OfdZip:
+    """Minimal OFDZipParser analog (ofd_parser.py:199-310)."""
+
+    def __init__(self, zf: zipfile.ZipFile):
+        self.zf = zf
+        self.names = set(zf.namelist())
+        self.ns = {"ofd": _DEFAULT_NS}
+
+    def _xml(self, path: str) -> ET.Element:
+        return ET.fromstring(self.zf.read(path))
+
+    def parse(self) -> Tuple[Dict[str, str], List[_Page], Dict[str, str]]:
+        root = self._xml("OFD.xml")
+        self.ns = _detect_ns(root)
+        metadata: Dict[str, str] = {}
+        doc_info = root.find(".//ofd:DocInfo", self.ns)
+        if doc_info is not None:
+            for child in doc_info:
+                tag = child.tag.split("}")[-1]
+                if child.text and child.text.strip():
+                    metadata[tag.lower()] = child.text.strip()
+        body = root.find(".//ofd:DocBody", self.ns)
+        if body is None:
+            raise ValueError("Unable to locate DocBody in OFD.xml")
+        doc_root_elem = body.find("ofd:DocRoot", self.ns)
+        if doc_root_elem is None or not doc_root_elem.text:
+            raise ValueError("DocRoot element missing in OFD.xml")
+        doc_root_path = doc_root_elem.text.strip()
+        document_dir = posixpath.dirname(doc_root_path)
+        document_root = self._xml(doc_root_path)
+
+        images: Dict[str, str] = {}
+        common = document_root.find("ofd:CommonData", self.ns)
+        if common is not None:
+            for tag_name in ("PublicRes", "DocumentRes"):
+                for res_elem in common.findall(f"ofd:{tag_name}", self.ns):
+                    if res_elem.text:
+                        res_path = _resolve_path(document_dir, None, res_elem.text)
+                        if res_path and res_path in self.names:
+                            self._parse_resources(res_path, document_dir, images)
+
+        pages: List[_Page] = []
+        pages_elem = document_root.find("ofd:Pages", self.ns)
+        if pages_elem is not None:
+            for page_elem in pages_elem.findall("ofd:Page", self.ns):
+                page_path = _resolve_path(
+                    document_dir, None, page_elem.get("BaseLoc")
+                )
+                if not page_path or page_path not in self.names:
+                    continue
+                pages.append(self._parse_page(self._xml(page_path)))
+        return metadata, pages, images
+
+    def _parse_resources(
+        self, res_path: str, document_dir: str, images: Dict[str, str]
+    ) -> None:
+        res_root = self._xml(res_path)
+        base_loc = res_root.get("BaseLoc")
+        for mm in res_root.findall("ofd:MultiMedias/ofd:MultiMedia", self.ns):
+            media_id = mm.get("ID")
+            if not media_id:
+                continue
+            mf = mm.find("ofd:MediaFile", self.ns)
+            path = (
+                _resolve_path(document_dir, base_loc, mf.text)
+                if mf is not None and mf.text
+                else None
+            )
+            images[media_id] = path or ""
+
+    def _parse_page(self, page_root: ET.Element) -> _Page:
+        page = _Page()
+        for layer in page_root.findall("ofd:Content/ofd:Layer", self.ns):
+            for text_elem in layer.findall("ofd:TextObject", self.ns):
+                boundary = _parse_boundary(text_elem.get("Boundary"))
+                font_size = _to_float(text_elem.get("Size"))
+                raw = "".join(
+                    tc.text or ""
+                    for tc in text_elem.findall("ofd:TextCode", self.ns)
+                )
+                if not raw:
+                    continue
+                text = _decode_block_text(raw)
+                if not text.strip():
+                    continue
+                x, y, width, height = boundary
+                fs = font_size or 0.0
+                if width <= 0:
+                    width = _estimate_text_width(text, font_size)
+                if height <= 0:
+                    height = (
+                        max(fs * 1.2, 2.0)
+                        if fs
+                        else max(width / max(len(text), 1), 2.0)
+                    )
+                page.text_items.append(
+                    _TextItem(
+                        text=text.strip(),
+                        x=x,
+                        y=y,
+                        width=width,
+                        height=height,
+                        font_size=fs or height,
+                    )
+                )
+            for image_elem in layer.findall("ofd:ImageObject", self.ns):
+                rid = image_elem.get("ResourceID")
+                if rid:
+                    page.image_resource_ids.append(rid)
+        return page
+
+
+def extract_ofd(raw: bytes, name: str = "file") -> SpanDoc:
+    """bytes → SpanDoc. Raises on a broken container (caller contains)."""
+    with zipfile.ZipFile(BytesIO(raw)) as zf:
+        if "OFD.xml" not in zf.namelist():
+            raise ValueError("Invalid OFD file: missing OFD.xml")
+        metadata, pages, images = _OfdZip(zf).parse()
+
+    doc = SpanDoc(name)
+    title = metadata.get("title")
+    if title:
+        doc.add_title(title)
+    for page in pages:
+        lines = _group_lines(page.text_items)
+        for paragraph in _build_paragraphs(lines):
+            doc.add_text("text", paragraph)
+        for rid in page.image_resource_ids:
+            if rid in images:
+                doc.add_picture()
+    return doc

@@ -357,6 +357,69 @@ def synth_pages_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- synthetic OFD
+def synth_ofd_bytes(doc_id: int, text: str) -> bytes:
+    """Deterministic one-page OFD container (GB/T 33190 zip layout): DocInfo
+    title 'Document {id}' + one body paragraph of wrapped text lines, spaced
+    so the ofdx line/paragraph thresholds reconstruct exactly
+    ``# Document {id}\\n\\n{text}`` in markdown."""
+    ns = "http://www.ofdspec.org/2016"
+    lines: list[str] = []
+    cur: list[str] = []
+    for w in text.split(" "):
+        if cur and len(" ".join(cur + [w])) > 60:
+            lines.append(" ".join(cur))
+            cur = [w]
+        else:
+            cur.append(w)
+    if cur:
+        lines.append(" ".join(cur))
+    objs = []
+    y = 40.0
+    for i, ln in enumerate(lines):
+        objs.append(
+            f'<ofd:TextObject ID="{100 + i}" Boundary="20 {y} 170 5" '
+            f'Font="1" Size="4">'
+            f'<ofd:TextCode X="0" Y="4">{ln}</ofd:TextCode>'
+            f"</ofd:TextObject>"
+        )
+        y += 5.0  # within-paragraph spacing (gap 5 <= 1.4*height)
+    content = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<ofd:Page xmlns:ofd="{ns}">'
+        f"<ofd:Area><ofd:PhysicalBox>0 0 210 297</ofd:PhysicalBox></ofd:Area>"
+        f'<ofd:Content><ofd:Layer ID="2">{"".join(objs)}</ofd:Layer>'
+        f"</ofd:Content></ofd:Page>"
+    )
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<ofd:Document xmlns:ofd="{ns}"><ofd:CommonData>'
+        f"<ofd:PageArea><ofd:PhysicalBox>0 0 210 297</ofd:PhysicalBox>"
+        f"</ofd:PageArea></ofd:CommonData><ofd:Pages>"
+        f'<ofd:Page ID="1" BaseLoc="Pages/Page_0/Content.xml"/>'
+        f"</ofd:Pages></ofd:Document>"
+    )
+    ofd_xml = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<ofd:OFD xmlns:ofd="{ns}" Version="1.0"><ofd:DocBody>'
+        f"<ofd:DocInfo><ofd:Title>Document {doc_id}</ofd:Title></ofd:DocInfo>"
+        f"<ofd:DocRoot>Doc_0/Document.xml</ofd:DocRoot>"
+        f"</ofd:DocBody></ofd:OFD>"
+    )
+    return _zip_bytes(
+        {
+            "OFD.xml": ofd_xml,
+            "Doc_0/Document.xml": document,
+            "Doc_0/Pages/Page_0/Content.xml": content,
+        }
+    )
+
+
+def synth_pages_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → pages table of deterministic OFD blobs."""
+    return _synth_office_pages(spark, sf_dir, synth_ofd_bytes, ".ofd")
+
+
 # ----------------------------------------- synthetic md / asciidoc sources
 def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → markdown source blobs (pure JVM string build)."""
