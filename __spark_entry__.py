@@ -374,7 +374,35 @@ def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
-    return mm.resize_image(mm.synth_media(spark, sf_dir), factor=2)
+    return mm.resize_image(mm.synth_media(spark, sf_dir), factor=2).drop(
+        "resized"
+    )
+
+
+def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode (ops/png.py: zlib + filter reconstruction — every
+    synth PNG uses filter type doc_id %% 5, so all five reconstruction
+    paths are exercised under the oracle)."""
+    from docling_spark.ops import multimodal as mm
+
+    return mm.decode_image_meta(mm.synth_media(spark, sf_dir), col="png")
+
+
+def q_mm_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel stats over genuinely decoded PNG payloads (gradient rows —
+    wrong filter reconstruction would shift every value)."""
+    from docling_spark.ops import multimodal as mm
+
+    return mm.image_features(mm.synth_media(spark, sf_dir), col="png")
+
+
+def q_mm_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor downsample on decoded PNG pixels."""
+    from docling_spark.ops import multimodal as mm
+
+    return mm.resize_image(
+        mm.synth_media(spark, sf_dir), factor=2, col="png"
+    ).drop("resized")
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
+        "mm_png_meta": q_mm_png_meta,
+        "mm_png_features": q_mm_png_features,
+        "mm_png_resize": q_mm_png_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_audio_meta": q_mm_audio_meta,
         "dedup_latest": q_dedup_latest,
@@ -982,10 +1013,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(greatest((16 + doc_id % 32) // 2, 1) AS INTEGER) AS width,
                    CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS height,
-                   13 + greatest((16 + doc_id % 32) // 2, 1)
-                      * greatest((8 + doc_id % 16) // 2, 1)
-                      * (1 + doc_id % 3) AS n_bytes
+                   CAST(doc_id % 251 AS DOUBLE) AS mean_px
             FROM documents
+        """,
+        "mm_png_meta": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 16 AS INTEGER) AS height,
+                   1 AS channels,
+                   (16 + doc_id % 32) * (8 + doc_id % 16) AS n_bytes
+            FROM documents
+        """,
+        "mm_png_features": """
+            -- pixel(x,y) = (doc_id + x) % 256, rows identical
+            SELECT d.doc_id,
+                   (SELECT avg((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS mean_px,
+                   CAST((SELECT min((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS min_px,
+                   CAST((SELECT max((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS max_px
+            FROM documents d
+        """,
+        "mm_png_resize": """
+            -- nearest-neighbor keeps columns 0,2,4,... -> (doc_id + 2k) % 256
+            SELECT d.doc_id,
+                   CAST(greatest((16 + d.doc_id % 32) // 2, 1) AS INTEGER)
+                       AS width,
+                   CAST(greatest((8 + d.doc_id % 16) // 2, 1) AS INTEGER)
+                       AS height,
+                   (SELECT avg((d.doc_id + 2 * x.k) % 256)
+                    FROM (SELECT unnest(range(0,
+                           greatest((16 + d.doc_id % 32) // 2, 1))) AS k) x
+                   ) AS mean_px
+            FROM documents d
         """,
         "mm_frame_sample": """
             SELECT d.doc_id,

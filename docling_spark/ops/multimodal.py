@@ -60,14 +60,30 @@ def make_video(doc_id: int) -> bytes:
     return b"FVID" + struct.pack(">iii", nframes, fw, fh) + frames
 
 
+def make_png(doc_id: int) -> bytes:
+    """REAL PNG (ops/png.py encoder): greyscale gradient, row-constant —
+    pixel(x, y) = (doc_id + x) % 256, so mean/min/max are SQL-derivable."""
+    from .png import encode_png
+
+    w, h, _c, _v = _img_params(doc_id)
+    row = bytes((doc_id + x) % 256 for x in range(w))
+    return encode_png(w, h, 1, row * h, filter_type=doc_id % 5)
+
+
 def make_audio(doc_id: int) -> bytes:
     rate, nsamples = _aud_params(doc_id)
     return b"FAUD" + struct.pack(">ii", rate, nsamples) + bytes([doc_id % 256]) * nsamples
 
 
-def _decode_real(blob: bytes):  # pragma: no cover - seam for real codecs
-    """Real-codec seam: PIL.Image.open / ffmpeg demux would live here."""
-    raise NotImplementedError("real image/audio codecs unavailable in this env")
+def _decode_real(blob: bytes):
+    """Real-codec seam. PNG is fully implemented (zlib + filter
+    reconstruction, ops/png.py — no external deps); JPEG/ffmpeg formats
+    still raise until a codec exists in the environment."""
+    from .png import decode_png, is_png
+
+    if is_png(blob):
+        return decode_png(blob)
+    raise NotImplementedError("only PNG has a real codec in this env")
 
 
 # ---------------------------------------------------------------- synthesis
@@ -85,78 +101,121 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": ids,
                     "image": [make_image(i) for i in ids],
+                    "png": [make_png(i) for i in ids],
                     "video": [make_video(i) for i in ids],
                     "audio": [make_audio(i) for i in ids],
                 }
             )
 
     return docs.mapInPandas(
-        build, schema="doc_id long, image binary, video binary, audio binary"
+        build,
+        schema=(
+            "doc_id long, image binary, png binary, video binary, "
+            "audio binary"
+        ),
     )
 
 
 # ------------------------------------------------------------------ decode ops
-def decode_image_meta(media: DataFrame) -> DataFrame:
-    """binary → typed metadata struct (the format-sniff + header parse)."""
+def decode_image_meta(media: DataFrame, col: str = "image") -> DataFrame:
+    """binary → typed metadata struct (format-sniff + header parse/decode).
+    Dual-format: real PNG (ops/png.py) or the fake FIMG container —
+    ``n_bytes`` is the DECODED payload size either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import decode_png, is_png
+
         for b in batches:
             rows = []
-            for doc_id, blob in zip(b["doc_id"], b["image"]):
+            for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                if blob[:4] != b"FIMG":
+                if is_png(blob):
+                    w, h, c, payload = decode_png(blob)
+                    rows.append((int(doc_id), w, h, c, len(payload)))
+                elif blob[:4] == b"FIMG":
+                    w, h, c = struct.unpack(">iiB", blob[4:13])
+                    rows.append((int(doc_id), w, h, c, len(blob) - 13))
+                else:
                     rows.append((int(doc_id), None, None, None, None))
-                    continue
-                w, h, c = struct.unpack(">iiB", blob[4:13])
-                rows.append((int(doc_id), w, h, c, len(blob) - 13))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "n_bytes"]
             )
 
-    return media.select("doc_id", "image").mapInPandas(
+    return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, width int, height int, channels int, n_bytes long"
     )
 
 
-def image_features(media: DataFrame) -> DataFrame:
-    """Payload statistics (mean/min/max pixel) — the feature-extract stage."""
+def image_features(media: DataFrame, col: str = "image") -> DataFrame:
+    """Payload statistics (mean/min/max pixel) — the feature-extract stage.
+    PNG inputs are genuinely decoded (unfiltered pixels), FIMG reads raw."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from .png import decode_png, is_png
+
         for b in batches:
             rows = []
-            for doc_id, blob in zip(b["doc_id"], b["image"]):
-                arr = np.frombuffer(bytes(blob)[13:], dtype=np.uint8)
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                blob = bytes(blob)
+                if is_png(blob):
+                    _w, _h, _c, payload = decode_png(blob)
+                else:
+                    payload = blob[13:]
+                arr = np.frombuffer(payload, dtype=np.uint8)
                 rows.append(
                     (int(doc_id), float(arr.mean()), int(arr.min()), int(arr.max()))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "mean_px", "min_px", "max_px"])
 
-    return media.select("doc_id", "image").mapInPandas(
+    return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, mean_px double, min_px int, max_px int"
     )
 
 
-def resize_image(media: DataFrame, factor: int = 2) -> DataFrame:
-    """Downsample by integer factor (nearest-neighbor on the fake format);
-    returns new binary + new dims. Real-codec version would swap the seam."""
+def resize_image(
+    media: DataFrame, factor: int = 2, col: str = "image"
+) -> DataFrame:
+    """Downsample by integer factor. PNG inputs get a REAL nearest-neighbor
+    resample (decode → stride-sample → re-encode, ops/png.py) with the
+    resized PNG returned in ``resized``; FIMG keeps the constant-payload
+    fake. ``mean_px`` is the resampled pixel mean (value-oracle-able, unlike
+    the compressor-dependent encoded length)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .png import decode_png, encode_png, is_png
+
         for b in batches:
             rows = []
-            for doc_id, blob in zip(b["doc_id"], b["image"]):
+            for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                w, h, c = struct.unpack(">iiB", blob[4:13])
-                nw, nh = max(w // factor, 1), max(h // factor, 1)
-                # constant-payload fake: resized payload is the same byte
-                payload = blob[13:14] * (nw * nh * c) if len(blob) > 13 else b""
-                out = b"FIMG" + struct.pack(">iiB", nw, nh, c) + payload
-                rows.append((int(doc_id), nw, nh, len(out)))
-            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "n_bytes"])
+                if is_png(blob):
+                    w, h, c, payload = decode_png(blob)
+                    nw, nh = max(w // factor, 1), max(h // factor, 1)
+                    arr = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, c)
+                    small = arr[::factor, ::factor][:nh, :nw]
+                    resized = encode_png(nw, nh, c, small.tobytes())
+                    mean_px = float(small.mean())
+                else:
+                    w, h, c = struct.unpack(">iiB", blob[4:13])
+                    nw, nh = max(w // factor, 1), max(h // factor, 1)
+                    payload = blob[13:14] * (nw * nh * c) if len(blob) > 13 else b""
+                    resized = b"FIMG" + struct.pack(">iiB", nw, nh, c) + payload
+                    mean_px = float(payload[0]) if payload else None
+                rows.append((int(doc_id), nw, nh, mean_px, resized))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_px", "resized"]
+            )
 
-    return media.select("doc_id", "image").mapInPandas(
-        run, schema="doc_id long, width int, height int, n_bytes long"
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, width int, height int, mean_px double, "
+            "resized binary"
+        ),
     )
 
 
