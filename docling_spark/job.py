@@ -487,6 +487,11 @@ class RunConfig:
     shuffle_partitions: Optional[int] = None
     dedup_latest: bool = True
     pdf_password: str = ""  # standard-security-handler password (pdfx/crypt)
+    # concurrent chunk jobs (driver-side thread pool + FAIR scheduler pool):
+    # >1 keeps the cluster busy through each chunk's job tail while
+    # preserving the per-chunk atomic commit + lineage append. 1 = the
+    # round-2 serial behavior.
+    max_concurrent_chunks: int = 4
 
 
 class ExtractionRunner:
@@ -523,6 +528,50 @@ class ExtractionRunner:
         df.coalesce(1).write.mode("append").parquet(self._lineage_path())
 
     # -- execution ------------------------------------------------------------
+    def _run_chunk(self, pages: DataFrame, k: int, shuffle_partitions) -> dict:
+        """One chunk job: extract → atomic parquet write → metrics row.
+        Runs on a driver pool thread; Spark local properties are
+        thread-local, so each chunk lands in the FAIR pool "chunks"."""
+        cfg = self.cfg
+        t0 = time.perf_counter()
+        try:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "chunks"
+            )
+        except Exception:
+            pass
+        chunk = pages.filter(F.col("_chunk") == k).drop("_chunk")
+        out = extract_pages(
+            chunk,
+            base_uri_mode=cfg.base_uri_mode,
+            max_bytes=cfg.max_bytes,
+            shuffle_partitions=shuffle_partitions,
+            salt=k,
+            pdf_password=cfg.pdf_password,
+        )
+        path = f"{cfg.output_path}/data/run_id={cfg.run_id}/chunk_id={k}"
+        out.write.mode("overwrite").parquet(path)
+        # post-commit metrics from the just-written files (cheap scan of
+        # one chunk; avoids caching the UDF output twice)
+        written = self.spark.read.parquet(path)
+        agg = written.groupBy("status").agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("n_chars", F.lit(0))).alias("b"),
+        ).collect()
+        url_count = int(sum(r.n for r in agg))
+        wall = time.perf_counter() - t0
+        return {
+            "run_id": cfg.run_id,
+            "chunk_id": k,
+            "num_chunks": cfg.num_chunks,
+            "url_count": url_count,
+            "byte_count": int(sum(r.b or 0 for r in agg)),
+            "status_counts": {r.status: r.n for r in agg},
+            "wall_sec": wall,
+            "docs_per_sec": url_count / wall if wall > 0 else 0.0,
+            "committed_at": datetime.now(timezone.utc),
+        }
+
     def run(self, pages: DataFrame) -> dict:
         cfg = self.cfg
         if cfg.dedup_latest:
@@ -544,42 +593,33 @@ class ExtractionRunner:
                 shuffle_partitions = None
         done = self.committed_chunks()
         stats = {"chunks_total": cfg.num_chunks, "chunks_skipped": len(done)}
-        for k in range(cfg.num_chunks):
-            if k in done:
-                continue
-            t0 = time.perf_counter()
-            chunk = pages.filter(F.col("_chunk") == k).drop("_chunk")
-            out = extract_pages(
-                chunk,
-                base_uri_mode=cfg.base_uri_mode,
-                max_bytes=cfg.max_bytes,
-                shuffle_partitions=shuffle_partitions,
-                salt=k,
-                pdf_password=cfg.pdf_password,
-            )
-            path = f"{cfg.output_path}/data/run_id={cfg.run_id}/chunk_id={k}"
-            out.write.mode("overwrite").parquet(path)
-            # post-commit metrics from the just-written files (cheap scan of
-            # one chunk; avoids caching the UDF output twice)
-            written = self.spark.read.parquet(path)
-            agg = written.groupBy("status").agg(
-                F.count("*").alias("n"), F.sum(F.coalesce("n_chars", F.lit(0))).alias("b")
-            ).collect()
-            url_count = int(sum(r.n for r in agg))
-            wall = time.perf_counter() - t0
-            self._append_lineage(
-                {
-                    "run_id": cfg.run_id,
-                    "chunk_id": k,
-                    "num_chunks": cfg.num_chunks,
-                    "url_count": url_count,
-                    "byte_count": int(sum(r.b or 0 for r in agg)),
-                    "status_counts": {r.status: r.n for r in agg},
-                    "wall_sec": wall,
-                    "docs_per_sec": url_count / wall if wall > 0 else 0.0,
-                    "committed_at": datetime.now(timezone.utc),
-                }
-            )
+        pending = [k for k in range(cfg.num_chunks) if k not in done]
+        workers = max(1, int(cfg.max_concurrent_chunks))
+        if workers == 1 or len(pending) <= 1:
+            for k in pending:
+                self._append_lineage(
+                    self._run_chunk(pages, k, shuffle_partitions)
+                )
+            return stats
+        # bounded driver pool: chunk k's job tail overlaps chunk k+1's ramp.
+        # The lineage append stays on the SUBMITTING thread under a lock —
+        # an append only happens after its chunk's atomic write returned,
+        # so a kill mid-run still leaves exactly the committed prefix set
+        # (resume semantics identical to the serial path).
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        lineage_lock = threading.Lock()
+
+        def submit(k: int) -> None:
+            row = self._run_chunk(pages, k, shuffle_partitions)
+            with lineage_lock:
+                self._append_lineage(row)
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(submit, k) for k in pending]
+            for f in futures:
+                f.result()  # propagate the first failure
         return stats
 
     def read_output(self) -> DataFrame:
@@ -603,6 +643,8 @@ def tuned_session(
         # the executor; the 1g default GC-thrashes on blob-heavy shuffles
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.scheduler.mode", "FAIR")  # concurrent chunk jobs
+        # share executors fairly across concurrent chunk jobs
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.parquet.compression.codec", "zstd")

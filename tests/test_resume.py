@@ -52,7 +52,15 @@ class _KillingRunner(ExtractionRunner):
 
 def test_kill_and_resume_exactly_once(spark, tmp_path):
     out = str(tmp_path / "out")
-    cfg = RunConfig(run_id=f"r-{uuid.uuid4().hex[:8]}", output_path=out, num_chunks=6)
+    # the kill phase runs serial (max_concurrent_chunks=1) so the kill point
+    # is deterministic; the RESUME below uses the default concurrent pool,
+    # proving exactly-once holds with overlapping chunk jobs
+    cfg = RunConfig(
+        run_id=f"r-{uuid.uuid4().hex[:8]}",
+        output_path=out,
+        num_chunks=6,
+        max_concurrent_chunks=1,
+    )
     pages = synth_pages(spark, SF)
     n_input = pages.count()
 
@@ -63,8 +71,12 @@ def test_kill_and_resume_exactly_once(spark, tmp_path):
     done = partial.committed_chunks()
     assert len(done) == 2
 
-    # rerun with a plain runner: must process ONLY the remaining chunks
-    stats = ExtractionRunner(spark, cfg).run(pages)
+    # rerun with a plain runner at the default concurrency: must process
+    # ONLY the remaining chunks, overlapping their jobs
+    cfg_concurrent = RunConfig(
+        run_id=cfg.run_id, output_path=out, num_chunks=6
+    )
+    stats = ExtractionRunner(spark, cfg_concurrent).run(pages)
     assert stats["chunks_skipped"] == 2
     assert stats["chunks_total"] == 6
 
