@@ -372,8 +372,8 @@ class DocxExtractor:
             i: None for i in range(-1, 10)
         }
         self.level = 0
-        self.level_at_new_list: Optional[int] = None
-        self.numbered_headers: dict[int, int] = {}
+        self.list_anchor_level: Optional[int] = None
+        self.heading_counters: dict[int, int] = {}
         self.list_counters: dict[tuple[int, int], int] = {}
         self.content_layer = BODY
         self.history: dict[str, list] = {
@@ -385,19 +385,19 @@ class DocxExtractor:
         self.processed_textboxes: set[int] = set()
 
     # -- history helpers (msword_backend.py:178-203) ------------------
-    def _update_history(self, name, level, numid, ilevel):
+    def _remember_paragraph(self, name, level, numid, ilevel):
         self.history["names"].append(name)
         self.history["levels"].append(level)
         self.history["numids"].append(numid)
         self.history["indents"].append(ilevel)
 
-    def _prev_numid(self):
+    def _last_seen_numid(self):
         return self.history["numids"][-1]
 
-    def _prev_indent(self):
+    def _last_seen_indent(self):
         return self.history["indents"][-1]
 
-    def _get_level(self) -> int:
+    def _effective_level(self) -> int:
         for k in sorted(self.parents):
             if k >= 0 and self.parents[k] is None:
                 return k
@@ -405,14 +405,14 @@ class DocxExtractor:
 
     # -- style → label/level (msword_backend.py:352-540) --------------
     @staticmethod
-    def _split_text_and_number(s: str) -> list[str]:
+    def _partition_style_suffix(s: str) -> list[str]:
         m = re.match(r"(\D+)(\d+)$|^(\d+)(\D+)", s)
         if m:
             return list(filter(None, m.groups()))
         return [s]
 
     @staticmethod
-    def _str_to_int(s, default=0):
+    def _int_or_default(s, default=0):
         if s is None:
             return None
         try:
@@ -420,21 +420,21 @@ class DocxExtractor:
         except ValueError:
             return default
 
-    def _get_heading_and_level(self, label: str) -> tuple[str, Optional[int]]:
-        parts = self._split_text_and_number(label)
+    def _heading_style_level(self, label: str) -> tuple[str, Optional[int]]:
+        parts = self._partition_style_suffix(label)
         if len(parts) == 2:
             parts.sort()
-            label_str, label_level = "", 0
+            style_word, label_level = "", 0
             if parts[0].strip().lower() == "heading":
-                label_str = "Heading"
-                label_level = self._str_to_int(parts[1], None)
+                style_word = "Heading"
+                label_level = self._int_or_default(parts[1], None)
             if parts[1].strip().lower() == "heading":
-                label_str = "Heading"
-                label_level = self._str_to_int(parts[0], None)
-            return label_str, label_level
+                style_word = "Heading"
+                label_level = self._int_or_default(parts[0], None)
+            return style_word, label_level
         return label, None
 
-    def _get_label_and_level(self, para: DocxParagraph) -> tuple[str, Optional[int]]:
+    def _style_label_level(self, para: DocxParagraph) -> tuple[str, Optional[int]]:
         st = para.style()
         if st is None:
             return "Normal", None
@@ -446,27 +446,27 @@ class DocxExtractor:
         if ":" in label:
             parts = label.split(":")
             if len(parts) == 2:
-                return parts[0], self._str_to_int(parts[1], None)
+                return parts[0], self._int_or_default(parts[1], None)
         if "heading" in label.lower():
-            return self._get_heading_and_level(label)
+            return self._heading_style_level(label)
         if "heading" in name.lower():
-            return self._get_heading_and_level(name)
+            return self._heading_style_level(name)
         if base:
             if "heading" in (base["style_id"] or "").lower():
-                return self._get_heading_and_level(base["style_id"])
+                return self._heading_style_level(base["style_id"])
             if "heading" in (base["name"] or "").lower():
-                return self._get_heading_and_level(base["name"])
+                return self._heading_style_level(base["name"])
         return label, None
 
     # -- numbering --------------------------------------------------------
-    def _is_numbered_list(self, pkg: DocxPackage, numid: int, ilvl: int) -> bool:
+    def _numfmt_is_ordered(self, pkg: DocxPackage, numid: int, ilvl: int) -> bool:
         fmts = pkg.numbering.get(numid)
         if not fmts:
             return False
         fmt = fmts.get(ilvl)
         return fmt in _NUMBERED_FMTS
 
-    def _get_list_counter(self, numid: int, ilvl: int) -> int:
+    def _list_counter_for(self, numid: int, ilvl: int) -> int:
         key = (numid, ilvl)
         self.list_counters[key] = self.list_counters.get(key, 0) + 1
         return self.list_counters[key]
@@ -477,11 +477,11 @@ class DocxExtractor:
                 self.list_counters[key] = 0
 
     # -- run grouping (msword_backend.py:556-610) ----------------------
-    def _get_paragraph_elements(self, para: DocxParagraph):
+    def _collect_runs(self, para: DocxParagraph):
         if para.text.strip() == "":
             return [("", None, None)]
         elements: list[tuple] = []
-        group_text = ""
+        joined_cell_text = ""
         previous_format = None
         fmt = None
         for c in para.iter_inner_content():
@@ -499,25 +499,25 @@ class DocxExtractor:
             if (len(text.strip()) and fmt != previous_format) or (
                 hyperlink is not None
             ):
-                if len(group_text.strip()) > 0:
-                    elements.append((group_text.strip(), previous_format, None))
-                group_text = ""
+                if len(joined_cell_text.strip()) > 0:
+                    elements.append((joined_cell_text.strip(), previous_format, None))
+                joined_cell_text = ""
                 if hyperlink is not None:
                     elements.append((text.strip(), fmt, hyperlink))
                     text = ""
                 else:
                     previous_format = fmt
-            group_text += text
-        if len(group_text.strip()) > 0:
-            elements.append((group_text.strip(), fmt, None))
+            joined_cell_text += text
+        if len(joined_cell_text.strip()) > 0:
+            elements.append((joined_cell_text.strip(), fmt, None))
         return elements
 
     # -- linear walk (msword_backend.py:209-350) -----------------------
-    def _walk_linear(self, body, doc: SpanDoc, pkg: DocxPackage) -> list[int]:
+    def _walk_body_xml(self, body, doc: SpanDoc, pkg: DocxPackage) -> list[int]:
         added: list[int] = []
         for element in body:
             tag = element.tag.split("}")[-1]
-            drawing_blip = element.findall(f".//{A}blip")
+            blip_nodes = element.findall(f".//{A}blip")
             drawingml = element.findall(f".//{W}drawing")
 
             was_textbox = False
@@ -538,13 +538,13 @@ class DocxExtractor:
 
             if tag == "tbl":
                 try:
-                    added.extend(self._handle_tables(element, doc, pkg))
+                    added.extend(self._emit_table(element, doc, pkg))
                 except Exception:  # noqa: BLE001 — broken table tolerated
                     pass
-            elif drawing_blip:
-                added.extend(self._handle_pictures(doc))
+            elif blip_nodes:
+                added.extend(self._emit_picture(doc))
                 if tag == "p" and element.find(f".//{W}t") is not None:
-                    added.extend(self._handle_text_elements(element, doc, pkg))
+                    added.extend(self._emit_paragraph(element, doc, pkg))
             elif drawingml:
                 # the reference renders DrawingML to an image via a DOCX→PDF
                 # converter (msword_backend.py:1560-1575); no renderer exists
@@ -553,20 +553,20 @@ class DocxExtractor:
                 # NOTE: textbox.docx's golden predates this reference feature
                 # and is marked flaky/xfail upstream (test_backend_msword.py:
                 # 108-121); we mirror that xfail.
-                added.extend(self._handle_pictures(doc))
+                added.extend(self._emit_picture(doc))
             elif tag == "sdt":
-                sdt_content = element.find(f".//{W}sdtContent")
-                if sdt_content is not None:
-                    for p in sdt_content.findall(f".//{W}p"):
-                        added.extend(self._handle_text_elements(p, doc, pkg))
+                sdt_body = element.find(f".//{W}sdtContent")
+                if sdt_body is not None:
+                    for p in sdt_body.findall(f".//{W}p"):
+                        added.extend(self._emit_paragraph(p, doc, pkg))
             elif tag == "p":
-                added.extend(self._handle_text_elements(element, doc, pkg))
+                added.extend(self._emit_paragraph(element, doc, pkg))
         return added
 
     # -- textboxes ----------------------------------------------------
     def _handle_textboxes(self, textboxes, doc: SpanDoc, pkg) -> list[int]:
         refs: list[int] = []
-        level = self._get_level()
+        level = self._effective_level()
         grp = doc.add_group(
             label="section",
             name="textbox",
@@ -586,7 +586,7 @@ class DocxExtractor:
                 if key in seen:
                     continue
                 seen.add(key)
-                refs.extend(self._handle_text_elements(p, doc, pkg))
+                refs.extend(self._emit_paragraph(p, doc, pkg))
         self.parents[level] = original
         return refs
 
@@ -594,59 +594,59 @@ class DocxExtractor:
     _EQ_OPEN, _EQ_CLOSE = "<eq>", "</eq>"
     _MATH_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/math}"
 
-    def _handle_equations_in_text(self, element, text: str):
+    def _splice_inline_equations(self, element, text: str):
         from .docxx_math import omath_to_latex
 
-        only_texts: list[str] = []
-        only_equations: list[str] = []
+        bare_texts: list[str] = []
+        bare_equations: list[str] = []
         texts_and_equations: list[str] = []
         for subt in element.iter():
             tag = subt.tag.split("}")[-1]
             if tag == "t" and "math" not in subt.tag:
                 if isinstance(subt.text, str):
-                    only_texts.append(subt.text)
+                    bare_texts.append(subt.text)
                     texts_and_equations.append(subt.text)
             elif "oMath" in subt.tag and "oMathPara" not in subt.tag:
                 latex = omath_to_latex(subt).strip()
                 if latex:
                     eq = f"{self._EQ_OPEN}{latex}{self._EQ_CLOSE}"
-                    only_equations.append(eq)
+                    bare_equations.append(eq)
                     texts_and_equations.append(eq)
-        if len(only_equations) < 1:
+        if len(bare_equations) < 1:
             return text, []
         if (
-            re.sub(r"\s+", "", "".join(only_texts)).strip()
+            re.sub(r"\s+", "", "".join(bare_texts)).strip()
             != re.sub(r"\s+", "", text).strip()
         ):
             # cannot reconstruct the raw text — skip equation parsing
             return text, []
         # insert equations into the original text, preserving whitespace
-        output_text = text[:]
-        init_i = 0
-        for i_substr, substr in enumerate(texts_and_equations):
-            if len(substr) == 0:
+        merged_text = text[:]
+        scan_pos = 0
+        for style_digit_pos, frag in enumerate(texts_and_equations):
+            if len(frag) == 0:
                 continue
-            if substr in output_text[init_i:]:
-                init_i += output_text[init_i:].find(substr) + len(substr)
+            if frag in merged_text[scan_pos:]:
+                scan_pos += merged_text[scan_pos:].find(frag) + len(frag)
             else:
-                if i_substr > 0:
-                    output_text = (
-                        output_text[:init_i] + substr + output_text[init_i:]
+                if style_digit_pos > 0:
+                    merged_text = (
+                        merged_text[:scan_pos] + frag + merged_text[scan_pos:]
                     )
-                    init_i += len(substr)
+                    scan_pos += len(frag)
                 else:
-                    output_text = substr + output_text
-        return output_text, only_equations
+                    merged_text = frag + merged_text
+        return merged_text, bare_equations
 
     # -- paragraphs (msword_backend.py:881-1066) -----------------------
-    def _handle_text_elements(self, element, doc: SpanDoc, pkg) -> list[int]:
+    def _emit_paragraph(self, element, doc: SpanDoc, pkg) -> list[int]:
         refs: list[int] = []
         para = DocxParagraph(element, pkg)
-        paragraph_elements = self._get_paragraph_elements(para)
-        text, equations = self._handle_equations_in_text(element, para.text)
+        paragraph_elements = self._collect_runs(para)
+        text, equations = self._splice_inline_equations(element, para.text)
         text = text.strip()
 
-        p_style_id, p_level = self._get_label_and_level(para)
+        style_token, p_level = self._style_label_level(para)
         numid, ilevel = para.num_props()
         if numid == 0:
             numid = None
@@ -654,33 +654,33 @@ class DocxExtractor:
         if (
             numid is not None
             and ilevel is not None
-            and p_style_id not in ["Title", "Heading"]
+            and style_token not in ["Title", "Heading"]
         ):
-            is_numbered = self._is_numbered_list(pkg, numid, ilevel)
+            is_numbered = self._numfmt_is_ordered(pkg, numid, ilevel)
             refs.extend(
-                self._add_list_item(
+                self._emit_list_item_node(
                     doc, numid, ilevel, paragraph_elements, is_numbered
                 )
             )
-            self._update_history(p_style_id, p_level, numid, ilevel)
+            self._remember_paragraph(style_token, p_level, numid, ilevel)
             return refs
         elif (
             numid is None
-            and self._prev_numid() is not None
-            and p_style_id not in ["Title", "Heading"]
+            and self._last_seen_numid() is not None
+            and style_token not in ["Title", "Heading"]
         ):  # close list
-            if self.level_at_new_list:
+            if self.list_anchor_level:
                 for key in range(len(self.parents)):
-                    if key >= self.level_at_new_list:
+                    if key >= self.list_anchor_level:
                         self.parents[key] = None
-                self.level = self.level_at_new_list - 1
-                self.level_at_new_list = None
+                self.level = self.list_anchor_level - 1
+                self.list_anchor_level = None
             else:
                 for key in range(len(self.parents)):
                     self.parents[key] = None
                 self.level = 0
 
-        if p_style_id in ["Title"]:
+        if style_token in ["Title"]:
             for key in range(len(self.parents)):
                 self.parents[key] = None
             te = doc.add_title(
@@ -688,18 +688,18 @@ class DocxExtractor:
             )
             self.parents[0] = te.idx
             refs.append(te.idx)
-        elif "Heading" in p_style_id:
+        elif "Heading" in style_token:
             st = para.style()
-            is_numbered_style = bool(st and st.get("has_numpr")) or (
+            style_is_ordered = bool(st and st.get("has_numpr")) or (
                 element.find(f".//{W}numPr") is not None
             )
-            refs.extend(self._add_heading(doc, p_level, text, is_numbered_style))
+            refs.extend(self._emit_heading(doc, p_level, text, style_is_ordered))
         elif len(equations) > 0:
             if (para.text is None or len(para.text.strip()) == 0) and len(
                 text
             ) > 0:
                 # standalone equation
-                level = self._get_level()
+                level = self._effective_level()
                 t1 = doc.add_text(
                     "formula",
                     text.replace(self._EQ_OPEN, "").replace(self._EQ_CLOSE, ""),
@@ -709,20 +709,20 @@ class DocxExtractor:
                 refs.append(t1.idx)
             else:
                 # inline equation: split text around each equation
-                level = self._get_level()
+                level = self._effective_level()
                 grp = doc.add_group(
                     label="inline",
                     parent=self.parents[level - 1],
                     content_layer=self.content_layer,
                 )
                 refs.append(grp.idx)
-                text_tmp = text
+                pending_text = text
                 for eq in equations:
-                    if len(text_tmp) == 0:
+                    if len(pending_text) == 0:
                         break
-                    split_text = text_tmp.split(eq.strip(), maxsplit=1)
+                    split_text = pending_text.split(eq.strip(), maxsplit=1)
                     pre_eq = split_text[0]
-                    text_tmp = "" if len(split_text) == 1 else split_text[1]
+                    pending_text = "" if len(split_text) == 1 else split_text[1]
                     if len(pre_eq) > 0:
                         e1 = doc.add_text(
                             "text",
@@ -740,17 +740,17 @@ class DocxExtractor:
                         content_layer=self.content_layer,
                     )
                     refs.append(e2.idx)
-                if len(text_tmp) > 0:
+                if len(pending_text) > 0:
                     e3 = doc.add_text(
                         "text",
-                        text_tmp.strip(),
+                        pending_text.strip(),
                         parent=grp.idx,
                         content_layer=self.content_layer,
                     )
                     refs.append(e3.idx)
-        elif p_style_id in _TEXT_STYLE_IDS:
-            level = self._get_level()
-            parent = self._create_or_reuse_parent(
+        elif style_token in _TEXT_STYLE_IDS:
+            level = self._effective_level()
+            parent = self._ensure_list_parent(
                 doc, self.parents.get(level - 1), paragraph_elements
             )
             for t, fmt, link in paragraph_elements:
@@ -764,8 +764,8 @@ class DocxExtractor:
                 )
                 refs.append(t2.idx)
         else:
-            level = self._get_level()
-            parent = self._create_or_reuse_parent(
+            level = self._effective_level()
+            parent = self._ensure_list_parent(
                 doc, self.parents.get(level - 1), paragraph_elements
             )
             for t, fmt, link in paragraph_elements:
@@ -779,25 +779,25 @@ class DocxExtractor:
                 )
                 refs.append(t3.idx)
 
-        self._update_history(p_style_id, p_level, numid, ilevel)
+        self._remember_paragraph(style_token, p_level, numid, ilevel)
         return refs
 
-    def _create_or_reuse_parent(self, doc, prev_parent, paragraph_elements):
+    def _ensure_list_parent(self, doc, carry_parent, paragraph_elements):
         if len(paragraph_elements) > 1:
             return doc.add_group(
                 label="inline",
-                parent=prev_parent,
+                parent=carry_parent,
                 content_layer=self.content_layer,
             ).idx
-        return prev_parent
+        return carry_parent
 
     # -- headings (msword_backend.py:1068-1134) ------------------------
-    def _add_heading(self, doc, curr_level, text, is_numbered_style) -> list[int]:
+    def _emit_heading(self, doc, active_level, text, style_is_ordered) -> list[int]:
         refs: list[int] = []
-        level = self._get_level()
-        if isinstance(curr_level, int):
-            if curr_level > level:
-                for i in range(level, curr_level):
+        level = self._effective_level()
+        if isinstance(active_level, int):
+            if active_level > level:
+                for i in range(level, active_level):
                     gr = doc.add_group(
                         label="section",
                         name=f"header-{i}",
@@ -805,47 +805,47 @@ class DocxExtractor:
                     )
                     refs.append(gr.idx)
                     self.parents[i] = gr.idx
-            elif curr_level < level:
+            elif active_level < level:
                 for key in range(len(self.parents)):
-                    if key >= curr_level:
+                    if key >= active_level:
                         self.parents[key] = None
-            current_level = curr_level
-            parent_level = curr_level - 1
-            add_level = curr_level
+            level_now = active_level
+            parent_level = active_level - 1
+            bump_level = active_level
         else:
-            current_level = self.level
+            level_now = self.level
             parent_level = self.level - 1
-            add_level = 1
+            bump_level = 1
 
-        if is_numbered_style:
-            if add_level in self.numbered_headers:
-                self.numbered_headers[add_level] += 1
+        if style_is_ordered:
+            if bump_level in self.heading_counters:
+                self.heading_counters[bump_level] += 1
             else:
-                self.numbered_headers[add_level] = 1
-            text = f"{self.numbered_headers[add_level]} {text}"
-            next_level = add_level + 1
-            while next_level in self.numbered_headers:
-                self.numbered_headers[next_level] = 0
+                self.heading_counters[bump_level] = 1
+            text = f"{self.heading_counters[bump_level]} {text}"
+            next_level = bump_level + 1
+            while next_level in self.heading_counters:
+                self.heading_counters[next_level] = 0
                 next_level += 1
-            previous_level = add_level - 1
-            while previous_level in self.numbered_headers:
-                if self.numbered_headers[previous_level] == 0:
-                    self.numbered_headers[previous_level] += 1
-                text = f"{self.numbered_headers[previous_level]}.{text}"
-                previous_level -= 1
+            upper_level = bump_level - 1
+            while upper_level in self.heading_counters:
+                if self.heading_counters[upper_level] == 0:
+                    self.heading_counters[upper_level] += 1
+                text = f"{self.heading_counters[upper_level]}.{text}"
+                upper_level -= 1
 
         hd = doc.add_heading(
             text,
-            add_level,
+            bump_level,
             parent=self.parents[parent_level],
             content_layer=self.content_layer,
         )
-        self.parents[current_level] = hd.idx
+        self.parents[level_now] = hd.idx
         refs.append(hd.idx)
         return refs
 
     # -- lists (msword_backend.py:1136-1290) ---------------------------
-    def _add_formatted_list_item(
+    def _emit_list_entry(
         self, doc, elements, marker, enumerated, level
     ) -> None:
         parent_idx = self.parents.get(level)
@@ -890,18 +890,18 @@ class DocxExtractor:
                         content_layer=self.content_layer,
                     )
 
-    def _add_list_item(
+    def _emit_list_item_node(
         self, doc, numid, ilevel, elements, is_numbered
     ) -> list[int]:
         refs: list[int] = []
         if not elements:
             return refs
-        level = self._get_level()
-        prev_indent = self._prev_indent()
-        if self._prev_numid() is None or (
-            self._prev_numid() == numid and self.level_at_new_list is None
+        level = self._effective_level()
+        last_indent = self._last_seen_indent()
+        if self._last_seen_numid() is None or (
+            self._last_seen_numid() == numid and self.list_anchor_level is None
         ):  # open new list
-            self.level_at_new_list = level
+            self.list_anchor_level = level
             self._reset_list_counters(numid)
             gr = doc.add_list_group(
                 name="list",
@@ -911,18 +911,18 @@ class DocxExtractor:
             self.parents[level] = gr.idx
             refs.append(gr.idx)
             marker = (
-                f"{self._get_list_counter(numid, ilevel)}." if is_numbered else ""
+                f"{self._list_counter_for(numid, ilevel)}." if is_numbered else ""
             )
-            self._add_formatted_list_item(doc, elements, marker, is_numbered, level)
+            self._emit_list_entry(doc, elements, marker, is_numbered, level)
         elif (
-            self._prev_numid() == numid
-            and self.level_at_new_list is not None
-            and prev_indent is not None
-            and prev_indent < ilevel
+            self._last_seen_numid() == numid
+            and self.list_anchor_level is not None
+            and last_indent is not None
+            and last_indent < ilevel
         ):  # open indented list
             for i in range(
-                self.level_at_new_list + prev_indent + 1,
-                self.level_at_new_list + ilevel + 1,
+                self.list_anchor_level + last_indent + 1,
+                self.list_anchor_level + ilevel + 1,
             ):
                 gr1 = doc.add_list_group(
                     name="list",
@@ -932,36 +932,36 @@ class DocxExtractor:
                 self.parents[i] = gr1.idx
                 refs.append(gr1.idx)
             marker = (
-                f"{self._get_list_counter(numid, ilevel)}." if is_numbered else ""
+                f"{self._list_counter_for(numid, ilevel)}." if is_numbered else ""
             )
-            self._add_formatted_list_item(
-                doc, elements, marker, is_numbered, self.level_at_new_list + ilevel
+            self._emit_list_entry(
+                doc, elements, marker, is_numbered, self.list_anchor_level + ilevel
             )
         elif (
-            self._prev_numid() == numid
-            and self.level_at_new_list is not None
-            and prev_indent is not None
-            and ilevel < prev_indent
+            self._last_seen_numid() == numid
+            and self.list_anchor_level is not None
+            and last_indent is not None
+            and ilevel < last_indent
         ):  # close nested list
             for k in self.parents:
-                if k > self.level_at_new_list + ilevel:
+                if k > self.list_anchor_level + ilevel:
                     self.parents[k] = None
             marker = (
-                f"{self._get_list_counter(numid, ilevel)}." if is_numbered else ""
+                f"{self._list_counter_for(numid, ilevel)}." if is_numbered else ""
             )
-            self._add_formatted_list_item(
-                doc, elements, marker, is_numbered, self.level_at_new_list + ilevel
+            self._emit_list_entry(
+                doc, elements, marker, is_numbered, self.list_anchor_level + ilevel
             )
-        elif self._prev_numid() == numid or prev_indent == ilevel:
+        elif self._last_seen_numid() == numid or last_indent == ilevel:
             marker = (
-                f"{self._get_list_counter(numid, ilevel)}." if is_numbered else ""
+                f"{self._list_counter_for(numid, ilevel)}." if is_numbered else ""
             )
-            self._add_formatted_list_item(doc, elements, marker, is_numbered, level - 1)
+            self._emit_list_entry(doc, elements, marker, is_numbered, level - 1)
         return refs
 
     # -- pictures ------------------------------------------------------
-    def _handle_pictures(self, doc: SpanDoc) -> list[int]:
-        level = self._get_level()
+    def _emit_picture(self, doc: SpanDoc) -> list[int]:
+        level = self._effective_level()
         pic = doc.add_picture(
             parent=self.parents[level - 1], content_layer=self.content_layer
         )
@@ -969,13 +969,13 @@ class DocxExtractor:
 
     # -- rich-cell helpers (msword_backend.py:1293-1430) ---------------
     @staticmethod
-    def _has_blip(element) -> bool:
+    def _contains_blip(element) -> bool:
         for item in element:
             if item.findall(f".//{A}blip") or item.findall(f".//{W}drawing"):
                 return True
         return False
 
-    def _is_rich_table_cell(self, cell: DocxCell) -> bool:
+    def _cell_needs_group(self, cell: DocxCell) -> bool:
         tc = cell.tc
         paragraphs = [c for c in tc if c.tag == W + "p"]
         if len(paragraphs) > 1:
@@ -983,7 +983,7 @@ class DocxExtractor:
         for child in tc:
             if child.tag.split("}")[-1] not in ("p", "tcPr"):
                 return True
-        if self._has_blip(tc):
+        if self._contains_blip(tc):
             return True
         default = Formatting()
         for p in paragraphs:
@@ -992,7 +992,7 @@ class DocxExtractor:
                     return True
         return False
 
-    def _group_cell_elements(
+    def _wrap_cell_elements(
         self, group_name: str, doc: SpanDoc, provs: list[int], table_item: Item
     ) -> int:
         grp = doc.add_group(
@@ -1005,7 +1005,7 @@ class DocxExtractor:
             doc.reparent(idx, grp.idx)
         return grp.idx
 
-    def _handle_tables(self, element, doc: SpanDoc, pkg) -> list[int]:
+    def _emit_table(self, element, doc: SpanDoc, pkg) -> list[int]:
         refs: list[int] = []
         table = DocxTable(element, pkg)
         num_rows = len(table.rows)
@@ -1013,10 +1013,10 @@ class DocxExtractor:
 
         if num_rows == 1 and num_cols == 1:
             # 1×1 table: treat content as document body (reference rule)
-            self._walk_linear(table.rows[0]["cells"][0], doc, pkg)
+            self._walk_body_xml(table.rows[0]["cells"][0], doc, pkg)
             return refs
 
-        level = self._get_level()
+        level = self._effective_level()
         tbl_item = doc.add_table(
             num_rows=num_rows,
             num_cols=num_cols,
@@ -1025,29 +1025,29 @@ class DocxExtractor:
         )
         refs.append(tbl_item.idx)
 
-        cell_set: set[int] = set()
-        for row_idx, row in enumerate(table.rows):
+        seen_cells: set[int] = set()
+        for r_i, row in enumerate(table.rows):
             cells = row["cells"]
             grid_before = row["grid_before"]
-            col_idx = 0
-            while col_idx < num_cols:
-                if col_idx >= len(cells) or cells[col_idx] is None:
+            c_i = 0
+            while c_i < num_cols:
+                if c_i >= len(cells) or cells[c_i] is None:
                     break
-                tc = cells[col_idx]
+                tc = cells[c_i]
                 cell = DocxCell(tc, pkg)
-                if id(tc) in cell_set:
-                    col_idx += cell.grid_span
+                if id(tc) in seen_cells:
+                    c_i += cell.grid_span
                     continue
-                cell_set.add(id(tc))
-                spanned_idx = row_idx
+                seen_cells.add(id(tc))
+                spanned_idx = r_i
                 while True:
                     spanned_idx += 1
                     if spanned_idx >= num_rows:
                         break
                     nxt = table.rows[spanned_idx]["cells"]
-                    if col_idx >= len(nxt) or nxt[col_idx] is not tc:
+                    if c_i >= len(nxt) or nxt[c_i] is not tc:
                         break
-                text, cell_eqs = self._handle_equations_in_text(tc, cell.text)
+                text, cell_eqs = self._splice_inline_equations(tc, cell.text)
                 if len(cell_eqs) == 0:
                     text = cell.text
                 else:
@@ -1055,44 +1055,44 @@ class DocxExtractor:
                         self._EQ_CLOSE, "$"
                     )
                 provs: list[int] = []
-                rich = self._is_rich_table_cell(cell)
+                rich = self._cell_needs_group(cell)
                 if rich:
-                    provs = self._walk_linear(tc, doc, pkg)
+                    provs = self._walk_body_xml(tc, doc, pkg)
                 rich_ref = -1
                 if provs:
                     rich = True
                     group_name = (
-                        f"rich_cell_group_{doc.table_count}_{col_idx}_"
-                        f"{grid_before + row_idx}"
+                        f"rich_cell_group_{doc.table_count}_{c_i}_"
+                        f"{grid_before + r_i}"
                     )
-                    rich_ref = self._group_cell_elements(
+                    rich_ref = self._wrap_cell_elements(
                         group_name, doc, provs, tbl_item
                     )
                 tbl_item.cells.append(
                     TableCellSpec(
                         text=text,
-                        row_span=spanned_idx - row_idx,
+                        row_span=spanned_idx - r_i,
                         col_span=cell.grid_span,
-                        start_row=grid_before + row_idx,
+                        start_row=grid_before + r_i,
                         end_row=grid_before + spanned_idx,
-                        start_col=col_idx,
-                        end_col=col_idx + cell.grid_span,
-                        column_header=grid_before + row_idx == 0,
+                        start_col=c_i,
+                        end_col=c_i + cell.grid_span,
+                        column_header=grid_before + r_i == 0,
                         row_header=False,
                         rich_ref=rich_ref,
                     )
                 )
-                col_idx += cell.grid_span
+                c_i += cell.grid_span
         return refs
 
     # -- headers / footers (msword_backend.py:1577-1646) ---------------
-    def _add_header_footer(self, pkg: DocxPackage, doc: SpanDoc) -> None:
+    def _route_header_footer(self, pkg: DocxPackage, doc: SpanDoc) -> None:
         body = pkg.document.find(W + "body")
         if body is None:
             return
         sectprs = [p for p in body.iter(W + "sectPr")]
-        current_layer = self.content_layer
-        base_parent = self.parents[0]
+        layer_now = self.content_layer
+        list_root_parent = self.parents[0]
         self.content_layer = FURNITURE
         # header/footer references inherit from earlier sections when a
         # section declares none (python-docx is_linked_to_previous chain)
@@ -1130,15 +1130,15 @@ class DocxExtractor:
                     if t
                 ]
                 tables = part.findall(W + "tbl")
-                if texts or tables or self._has_blip(part):
+                if texts or tables or self._contains_blip(part):
                     self.parents[0] = doc.add_group(
                         label="section",
                         name=f"page {kind}",
                         content_layer=self.content_layer,
                     ).idx
-                    self._walk_linear(part, doc, pkg)
-        self.content_layer = current_layer
-        self.parents[0] = base_parent
+                    self._walk_body_xml(part, doc, pkg)
+        self.content_layer = layer_now
+        self.parents[0] = list_root_parent
 
     # -- entry ---------------------------------------------------------
     def convert(self, blob: bytes, name: str = "file") -> SpanDoc:
@@ -1146,8 +1146,8 @@ class DocxExtractor:
         doc = SpanDoc(name)
         body = pkg.document.find(W + "body")
         if body is not None:
-            self._walk_linear(body, doc, pkg)
-        self._add_header_footer(pkg, doc)
+            self._walk_body_xml(body, doc, pkg)
+        self._route_header_footer(pkg, doc)
         return doc
 
 
