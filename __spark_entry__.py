@@ -359,6 +359,26 @@ def q_chunk_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunk_spans(extract_pages(pages)), budget_tokens=16)
 
 
+def q_chunk_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing under the BPE-lite pre-tokenizer (ops/chunker.token_count_col,
+    pluggable tokenizer seam). Chunks are decorated with punctuation,
+    contractions and digits so BPE-lite counts genuinely diverge from
+    whitespace counts — the oracle recomputes them with the SAME regex in
+    DuckDB (RE2) as Spark (Java regex)."""
+    from docling_spark.ops.chunker import chunk_spans, pack_chunks
+
+    chunks = chunk_spans(extract_pages(synth_pages(spark, sf_dir)))
+    decorated = chunks.withColumn(
+        "chunk_text",
+        F.concat(
+            F.col("chunk_text"),
+            F.lit(", it's #"),
+            F.col("span_idx").cast("string"),
+        ),
+    )
+    return pack_chunks(decorated, budget_tokens=16, tokenizer="bpe_lite")
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
@@ -602,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,
         "uspto_extract": q_uspto_extract,
         "chunk_pack": q_chunk_pack,
+        "chunk_pack_bpe": q_chunk_pack_bpe,
         "mm_image_meta": q_mm_image_meta,
         "mm_image_features": q_mm_image_features,
         "mm_resize": q_mm_resize,
@@ -727,6 +748,9 @@ _STOP_HITS = " + ".join(
 def oracle_sql() -> dict[str, str]:
     synth_url = "'https://synth.test/doc/' || doc_id || '.html'"
     synth_url_deep = "'https://synth.test/doc/' || doc_id || '-deep.html'"
+    from docling_spark.ops.chunker import BPE_LITE_PATTERN
+
+    bpe_sql = BPE_LITE_PATTERN.replace("'", "''")
     synth_html = (
         "'<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) || "
         "'<h1>Document ' || doc_id || '</h1>' || chr(10) || "
@@ -993,6 +1017,30 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk_text, ' ' ORDER BY span_idx) AS packed_text
             FROM (SELECT *, cum AS cum0 FROM c)
             GROUP BY url, CAST((cum0 - 1) // 16 AS INTEGER)
+        """,
+        "chunk_pack_bpe": f"""
+            WITH chunks AS (
+              SELECT {synth_url} AS url, 3 AS span_idx,
+                     text || ', it''s #3' AS chunk_text
+              FROM documents
+              UNION ALL
+              SELECT {synth_url}, 4 + g.k,
+                     split_part(text, ' ', g.k) || ', it''s #' || (4 + g.k)
+              FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+            ),
+            t AS (
+              SELECT url, span_idx, chunk_text,
+                     len(regexp_extract_all(chunk_text, '{bpe_sql}')) AS n_tokens
+              FROM chunks),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY url ORDER BY span_idx
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT url, CAST((cum - 1) // 16 AS INTEGER) AS pack_id,
+                   count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(chunk_text, ' ' ORDER BY span_idx) AS packed_text
+            FROM c
+            GROUP BY url, CAST((cum - 1) // 16 AS INTEGER)
         """,
         "mm_image_meta": """
             SELECT doc_id,

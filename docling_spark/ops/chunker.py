@@ -95,17 +95,48 @@ def chunk_spans(extracted: DataFrame) -> DataFrame:
     )
 
 
-def pack_chunks(chunks: DataFrame, budget_tokens: int = 64) -> DataFrame:
+# GPT-2-style pretokenizer (public BPE pretokenization grammar): leading
+# contraction suffixes, space-prefixed letter runs, digit runs, punctuation
+# runs, residual whitespace. Uses only syntax shared by Java regex (Spark)
+# and RE2 (DuckDB) so the SAME pattern drives both the operator and its
+# value oracle.
+BPE_LITE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_col(text_col, tokenizer: str = "whitespace"):
+    """Pluggable token counter (all JVM-side, no UDF):
+
+    - ``whitespace``: single-space split (the packing oracle's original
+      rule; counts empty fragments like str.split(" ") does)
+    - ``bpe_lite``: count of BPE pre-tokens under :data:`BPE_LITE_PATTERN`
+      — a realistic budget proxy for byte-pair-encoded LLM tokenizers
+      (every real BPE token boundary is a sub-split of these pre-tokens)
+
+    A real vocab-merge BPE would slot in here as another branch (e.g. a
+    broadcast-merges Pandas UDF); the seam is the tokenizer name."""
+    if tokenizer == "whitespace":
+        return F.size(F.split(text_col, " "))
+    if tokenizer == "bpe_lite":
+        return F.regexp_count(text_col, F.lit(BPE_LITE_PATTERN))
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 64,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
     """Token-aware packing (HybridChunker analog: reference re-exports a
     tokenizer-budget chunk merger, docling/chunking/__init__.py:7-13).
 
     Consecutive chunks of a document are grouped into packs by cumulative
-    whitespace-token count: pack_id = floor((cumsum - 1) / budget). One
-    window cumsum + one groupBy — no Python, deterministic, and the pack
-    boundary rule is engine-independent (value-oracle-able)."""
+    token count: pack_id = floor((cumsum - 1) / budget). One window cumsum
+    + one groupBy — no Python, deterministic, and the pack boundary rule is
+    engine-independent (value-oracle-able). ``tokenizer`` picks the counter
+    (see :func:`token_count_col`)."""
     from pyspark.sql.window import Window
 
-    toks = F.size(F.split(F.col("chunk_text"), " "))
+    toks = token_count_col(F.col("chunk_text"), tokenizer)
     w = (
         Window.partitionBy("url")
         .orderBy("span_idx")
