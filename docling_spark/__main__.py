@@ -36,7 +36,74 @@ def convert_main(argv: list[str]) -> int:
         default="",
         help="password for encrypted PDFs (standard security handler)",
     )
+    p.add_argument(
+        "--page-range",
+        default=None,
+        metavar="A-B",
+        help="1-based inclusive PDF page range (reference --page-range)",
+    )
+    p.add_argument(
+        "--max-num-pages",
+        type=int,
+        default=None,
+        help="fail PDFs with more pages (reference DocumentLimits)",
+    )
+    p.add_argument(
+        "--from",
+        dest="from_formats",
+        default=None,
+        help="comma allowlist of input formats (html,pdf,docx,xlsx,pptx,md,"
+        "asciidoc,csv,vtt,jats,uspto,ofd,json); others are skipped",
+    )
     args = p.parse_args(argv)
+    page_range = (1, 2**31 - 1)
+    if args.page_range:
+        a, _, b = args.page_range.partition("-")
+        page_range = (int(a), int(b or a))
+    allowed = (
+        {f.strip() for f in args.from_formats.split(",") if f.strip()}
+        if args.from_formats
+        else None
+    )
+
+    def fmt_allowed(fmt: str) -> bool:
+        return allowed is None or fmt in allowed
+
+    def detect_fmt(path, raw: bytes) -> str:
+        """Mirror of the dispatch chain below, for the --from allowlist."""
+        suf = path.suffix.lower()
+        if raw[:5] == b"%PDF-" or suf == ".pdf":
+            return "pdf"
+        if raw[:6] == b"WEBVTT" or suf == ".vtt":
+            return "vtt"
+        if suf == ".docx" or (raw[:2] == b"PK" and b"word/document.xml" in raw):
+            return "docx"
+        if suf in (".pptx", ".pptm", ".potx") or (
+            raw[:2] == b"PK" and b"ppt/presentation.xml" in raw
+        ):
+            return "pptx"
+        if suf in (".xlsx", ".xlsm") or (
+            raw[:2] == b"PK" and b"xl/workbook.xml" in raw
+        ):
+            return "xlsx"
+        from .usptox import looks_like_uspto
+
+        if suf != ".nxml" and looks_like_uspto(raw):
+            return "uspto"
+        if suf == ".nxml" or (
+            b"JATS-journalpublishing" in raw[:8192]
+            or b"JATS-archive" in raw[:8192]
+        ):
+            return "jats"
+        if suf in (".adoc", ".asciidoc", ".asc"):
+            return "asciidoc"
+        if suf in (".md", ".markdown"):
+            return "md"
+        if suf == ".ofd" or (raw[:2] == b"PK" and b"OFD.xml" in raw):
+            return "ofd"
+        if suf == ".csv":
+            return "csv"
+        return "html"
 
     from pathlib import Path
 
@@ -53,9 +120,17 @@ def convert_main(argv: list[str]) -> int:
         path = Path(src)
         raw = path.read_bytes()
         doc = None
+        if not fmt_allowed(detect_fmt(path, raw)):
+            print(f"skipped {path.name}: format not in --from")
+            continue
         try:
             if raw[:5] == b"%PDF-" or path.suffix.lower() == ".pdf":
-                res = extract_pdf_text(raw, password=args.pdf_password)
+                res = extract_pdf_text(
+                    raw,
+                    password=args.pdf_password,
+                    page_range=page_range,
+                    max_num_pages=args.max_num_pages,
+                )
                 if res.status in ("failure",):
                     raise RuntimeError(res.error or res.status)
                 outputs = {"md": res.text, "text": res.text, "itxt": None, "json": None}
@@ -63,9 +138,11 @@ def convert_main(argv: list[str]) -> int:
                 from .vttx import extract_vtt
 
                 doc = extract_vtt(raw, name=path.stem)
+                # reference vtt goldens export with escape_html=False
+                # (tests/test_backend_vtt.py:220) — same as the job path
                 outputs = {
-                    "md": to_markdown(doc),
-                    "text": to_markdown(doc),
+                    "md": to_markdown(doc, escape_html=False),
+                    "text": to_markdown(doc, escape_html=False),
                     "itxt": to_itxt(doc, 70),
                     "json": to_docling_json(doc, path.name, raw, mimetype="text/vtt"),
                 }

@@ -25,6 +25,8 @@ def extract_pdf_text(
     deadline: Optional[float] = None,
     with_structure: bool = False,
     password: "str | bytes" = "",
+    page_range: "tuple[int, int]" = (1, 2**31 - 1),
+    max_num_pages: Optional[int] = None,
 ) -> PdfResult:
     """bytes → reading-ordered text. Never raises.
 
@@ -37,7 +39,12 @@ def extract_pdf_text(
     (reference: backend_options.py:71 threads a password into pdfium; here
     pdfx/crypt.py implements the public-spec handler). The default empty
     password also opens owner-locked documents with a blank user password;
-    a wrong/missing password yields a clean failure row."""
+    a wrong/missing password yields a clean failure row.
+
+    ``page_range`` (1-based inclusive) and ``max_num_pages`` mirror the
+    reference's DocumentLimits (document.py:188-192, base_pipeline.py:217-219):
+    pages outside the range are skipped; a document with more pages than
+    ``max_num_pages``, or fewer pages than the range start, fails cleanly."""
     import time
 
     try:
@@ -49,12 +56,28 @@ def extract_pdf_text(
             pdf = PdfDocument(blob, password=password)
         except PdfPasswordError as e:
             return PdfResult(status="failure", error=f"encrypted PDF: {e}")
+        all_pages = pdf.pages()
+        start_page, end_page = page_range
+        if max_num_pages is not None and len(all_pages) > max_num_pages:
+            return PdfResult(
+                status="failure",
+                error=f"page count {len(all_pages)} exceeds "
+                f"max_num_pages {max_num_pages}",
+            )
+        if all_pages and len(all_pages) < start_page:
+            return PdfResult(
+                status="failure",
+                error=f"page count {len(all_pages)} below page_range start "
+                f"{start_page}",
+            )
         page_texts = []
         needs_ocr_pages = 0
         pages_meta = []
         pages_cells = []
         timed_out = False
-        for page in pdf.pages():
+        for page_no, page in enumerate(all_pages, start=1):
+            if not (start_page <= page_no <= end_page):
+                continue
             if deadline is not None and time.monotonic() > deadline:
                 timed_out = True
                 break
