@@ -437,6 +437,18 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_meta(mm.synth_media(spark, sf_dir))
 
 
+def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k under the sampled-Lloyd k-means codebook
+    (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
+    driver-side sample). No DuckDB oracle: Lloyd iterations are not
+    SQL-expressible; the driver records the rows-only check, and
+    tests/test_ann_kmeans.py pins determinism + recall-vs-seeded."""
+    return ann.ivf_search(
+        _emb(spark, sf_dir), query_id=3, k=10, n_centroids=16, nprobe=4,
+        codebook="kmeans",
+    )
+
+
 def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -631,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_resize": q_mm_png_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_audio_meta": q_mm_audio_meta,
+        "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,

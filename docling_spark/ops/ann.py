@@ -132,17 +132,77 @@ def embedding_cosine_dups(
 
 
 # ------------------------------------------------------------------ IVF path
-def ivf_assign(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """IVF cell assignment: centroid = the embedding of vec_id < n_centroids
-    (deterministic "seeded" codebook — on a real corpus this would be a
-    k-means fit, but the partition/probe machinery is identical), cell =
-    argmax cosine. Broadcast centroids; ranking via window, all JVM-side."""
-    from pyspark.sql.window import Window
+def fit_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 8,
+    sample_cap: int = 4096,
+) -> DataFrame:
+    """Spherical k-means codebook via deterministic sampled Lloyd.
 
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
+    Strategy for 10^9-vector scale: collect a bounded deterministic sample
+    (every ceil(N/sample_cap)-th vec_id — one pruned scan), run Lloyd on
+    the driver in numpy (cosine = dot on L2-normalized vectors), broadcast
+    the resulting centroids. No randomness anywhere: init takes every
+    (S/k)-th sample point, ties break by index, so the codebook is
+    reproducible across runs and cluster sizes. For corpora where even the
+    SAMPLE can't fit a driver, swap this for a distributed k-means|| round
+    — the consumers (`ivf_assign`/`ivf_search`) only see a (centroid_id,
+    centroid) frame either way."""
+    import numpy as np
+
+    n = embeddings.count()
+    stride = max(1, -(-n // sample_cap))  # ceil
+    sample = (
+        embeddings.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    X = np.array([r.embedding for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(n_centroids, len(X))
+    C = X[:: max(1, len(X) // k)][:k].copy()
+    for _ in range(iters):
+        sims = X @ C.T  # (S, k)
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    spark = embeddings.sparkSession
+    rows = [(int(j), [float(v) for v in C[j]]) for j in range(k)]
+    return spark.createDataFrame(
+        rows, schema="centroid_id int, centroid array<double>"
+    )
+
+
+def _centroids(embeddings: DataFrame, n_centroids: int, codebook: str) -> DataFrame:
+    if codebook == "kmeans":
+        return fit_codebook(embeddings, n_centroids)
+    # "seeded": the embedding of vec_id < n_centroids — weaker cells but
+    # exactly reproducible in the DuckDB value oracle
+    return embeddings.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid"),
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    codebook: str = "seeded",
+    cents: "DataFrame | None" = None,
+) -> DataFrame:
+    """IVF cell assignment: cell = argmax cosine against the codebook
+    ("seeded" = oracle-reproducible first-N vectors; "kmeans" = sampled
+    Lloyd fit, see fit_codebook). Pass ``cents`` to reuse an already-fit
+    codebook. Broadcast centroids; ranking via window, all JVM-side."""
+    from pyspark.sql.window import Window
+
+    if cents is None:
+        cents = _centroids(embeddings, n_centroids, codebook)
     sim = _dot(F.col("embedding"), F.col("centroid")) / (
         _norm(F.col("embedding")) * _norm(F.col("centroid"))
     )
@@ -164,17 +224,15 @@ def ivf_search(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    codebook: str = "seeded",
 ) -> DataFrame:
     """IVF top-k: probe only the nprobe cells nearest the query, brute-force
     within them. At 10^9 vectors this scans ~nprobe/n_centroids of the data
     instead of all of it; the probed subset is an equi-join on cell id."""
-    assign = ivf_assign(embeddings, n_centroids)
+    cents = _centroids(embeddings, n_centroids, codebook)
+    assign = ivf_assign(embeddings, n_centroids, cents=cents)
     q = embeddings.filter(F.col("vec_id") == query_id).select(
         F.col("embedding").alias("q")
-    )
-    cents = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").alias("centroid"),
     )
     qsim = _dot(F.col("centroid"), F.col("q")) / (
         _norm(F.col("centroid")) * _norm(F.col("q"))
