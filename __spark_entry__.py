@@ -121,6 +121,19 @@ def q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pw.unionByName(without_pw)
 
 
+def q_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentExtractor result shape (docling_spark/extractor.py): one row
+    per (url, page_no) with raw_text + page errors — the deterministic
+    slice of the reference's VLM extraction API."""
+    from docling_spark.extractor import extract_structured
+    from docling_spark.ops.corpus import synth_pages_pdf
+
+    out = extract_structured(synth_pages_pdf(spark, sf_dir))
+    return out.select(
+        "url", "status", "page_no", "raw_text", F.size("errors").alias("n_errors")
+    )
+
+
 def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML ∪ PDF corpus → content sniffing → per-branch counts."""
     from docling_spark.ops.corpus import synth_pages_pdf
@@ -614,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "pdf_extract": q_pdf_extract,
         "pdf_encrypted": q_pdf_encrypted,
+        "structured_extract": q_structured_extract,
         "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
@@ -804,6 +818,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://synth.test/doc/' || doc_id || '-enc.pdf',
                    'no_password', 'failure', NULL,
                    'encrypted PDF: wrong or missing password'
+            FROM documents
+        """,
+        "structured_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,
+                   'success' AS status, 1 AS page_no,
+                   'Document ' || doc_id || chr(10) || chr(10) || text
+                       AS raw_text,
+                   0 AS n_errors
             FROM documents
         """,
         "mixed_dispatch": """

@@ -18,6 +18,7 @@ class PdfResult:
     error: Optional[str] = None
     pages: Optional[list] = None  # per-page cell counts
     spans: Optional[list] = None  # structured labeled spans (with_structure)
+    page_texts: Optional[list] = None  # per-page text (with_page_texts)
 
 
 def extract_pdf_text(
@@ -27,6 +28,7 @@ def extract_pdf_text(
     password: "str | bytes" = "",
     page_range: "tuple[int, int]" = (1, 2**31 - 1),
     max_num_pages: Optional[int] = None,
+    with_page_texts: bool = False,
 ) -> PdfResult:
     """bytes → reading-ordered text. Never raises.
 
@@ -100,6 +102,7 @@ def extract_pdf_text(
                 text="\n\n".join(page_texts),
                 error=f"document timeout after {len(pages_meta)} pages",
                 pages=pages_meta,
+                page_texts=page_texts if with_page_texts else None,
             )
         if not pages_meta:
             return PdfResult(status="failure", error="no pages found")
@@ -116,6 +119,7 @@ def extract_pdf_text(
             text="\n\n".join(page_texts),
             pages=pages_meta,
             spans=spans,
+            page_texts=page_texts if with_page_texts else None,
         )
     except Exception as e:  # noqa: BLE001
         return PdfResult(status="failure", error=f"{type(e).__name__}: {e}"[:500])

@@ -1,0 +1,53 @@
+"""Structured-extraction API (docling_spark/extractor.py) vs the reference
+DocumentExtractor result shape (datamodel/extraction.py:11-35)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from docling_spark.extractor import ExtractionResult, extract_document
+
+PDF = Path("/root/reference/tests/data/pdf")
+
+
+def test_multi_page_per_page_rows():
+    r = extract_document(
+        (PDF / "multi_page.pdf").read_bytes(), source="multi_page.pdf"
+    )
+    assert isinstance(r, ExtractionResult)
+    assert r.status == "success" and not r.errors
+    assert [p.page_no for p in r.pages] == [1, 2, 3, 4, 5]
+    assert all(p.raw_text for p in r.pages)
+    assert all(p.extracted_data is None for p in r.pages)  # VLM slot empty
+
+
+def test_page_range_offsets_page_numbers():
+    r = extract_document(
+        (PDF / "multi_page.pdf").read_bytes(), page_range=(2, 3)
+    )
+    assert [p.page_no for p in r.pages] == [2, 3]
+
+
+def test_encrypted_wrong_password_is_failure():
+    raw = Path(
+        "/root/reference/tests/data/pdf_password/2206.01062_pg3.pdf"
+    ).read_bytes()
+    r = extract_document(raw)
+    assert r.status == "failure"
+    assert any("encrypted" in e for e in r.errors)
+    ok = extract_document(raw, password="1234")
+    assert ok.status == "success" and ok.pages[0].raw_text
+
+
+def test_image_routes_with_page_error():
+    from docling_spark.ops.multimodal import make_png
+
+    r = extract_document(make_png(3))
+    assert r.status == "partial_success"
+    assert r.pages[0].raw_text is None
+    assert any("VLM" in e for e in r.pages[0].errors)
+
+
+def test_garbage_contained():
+    r = extract_document(b"%PDF-1.4 garbage truncated")
+    assert r.status == "failure" and r.errors
