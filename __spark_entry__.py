@@ -450,6 +450,14 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_meta(mm.synth_media(spark, sf_dir))
 
 
+def q_mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/WAVE decode (ops/multimodal.parse_wav): rate/sample/
+    duration recovered from genuine PCM16 containers, not the FAUD fake."""
+    from docling_spark.ops import multimodal as mm
+
+    return mm.audio_meta(mm.synth_media(spark, sf_dir), col="wav")
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -657,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_resize": q_mm_png_resize,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_audio_meta": q_mm_audio_meta,
+        "mm_wav_meta": q_mm_wav_meta,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
@@ -1143,6 +1152,14 @@ def oracle_sql() -> dict[str, str]:
                  LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 12, 2)) AS k) k
         """,
         "mm_audio_meta": """
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
+                   CAST(1000 + (doc_id % 97) * 100 AS INTEGER) AS n_samples,
+                   round((1000 + (doc_id % 97) * 100) * 1000.0
+                         / (8000 + (doc_id % 3) * 4000), 4) AS duration_ms
+            FROM documents
+        """,
+        "mm_wav_meta": """
             SELECT doc_id,
                    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate,
                    CAST(1000 + (doc_id % 97) * 100 AS INTEGER) AS n_samples,

@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is split:
+The Spark-side plumbing (schemas, mapInPandas batch shape, partitioning,
+metadata structs) is real and tested everywhere. Codecs are split by what
+pure stdlib can genuinely decode:
 
-- the Spark-side plumbing (schemas, mapInPandas batch shape, partitioning,
-  metadata structs) is real and tested;
-- the byte-level codec is a deterministic fake format (``FIMG``/``FVID``/
-  ``FAUD`` headers below); swapping in a real codec (PIL/ffmpeg) is a
-  one-function change at the marked seam (`_decode_real`).
+- **real**: PNG (ops/png.py — zlib + filter reconstruction) and RIFF/WAVE
+  audio containers (`parse_wav`); the image/audio ops sniff these and run
+  on decoded bytes;
+- **fake**: JPEG/video/compressed-audio remain the deterministic
+  ``FIMG``/``FVID``/``FAUD`` formats below — swapping a real codec
+  (PIL/ffmpeg) in is a one-function change at the marked seam
+  (`_decode_real`).
 
 Every op's output is independently derivable from ``doc_id`` alone, so the
 DuckDB oracle cross-checks the binary round-trip without itself parsing
@@ -75,6 +79,53 @@ def make_audio(doc_id: int) -> bytes:
     return b"FAUD" + struct.pack(">ii", rate, nsamples) + bytes([doc_id % 256]) * nsamples
 
 
+def make_wav(doc_id: int) -> bytes:
+    """REAL RIFF/WAVE container (PCM16 mono): canonical 44-byte header +
+    deterministic ramp samples — no codec library involved, WAV headers are
+    plain struct fields."""
+    rate, nsamples = _aud_params(doc_id)
+    payload = b"".join(
+        struct.pack("<h", ((doc_id * 7 + i) % 2001) - 1000)
+        for i in range(nsamples)
+    )
+    data_size = len(payload)
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", data_size)
+    )
+    return hdr + payload
+
+
+def parse_wav(blob: bytes):
+    """→ (rate, channels, bits, n_samples). Walks RIFF chunks; raises on a
+    non-WAV or truncated container."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = channels = bits = None
+    data_size = None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            _fmt, channels, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+        elif cid == b"data":
+            data_size = len(body)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    n_samples = data_size // (channels * (bits // 8))
+    return rate, channels, bits, n_samples
+
+
 def _decode_real(blob: bytes):
     """Real-codec seam. PNG is fully implemented (zlib + filter
     reconstruction, ops/png.py — no external deps); JPEG/ffmpeg formats
@@ -104,6 +155,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "png": [make_png(i) for i in ids],
                     "video": [make_video(i) for i in ids],
                     "audio": [make_audio(i) for i in ids],
+                    "wav": [make_wav(i) for i in ids],
                 }
             )
 
@@ -111,7 +163,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         schema=(
             "doc_id long, image binary, png binary, video binary, "
-            "audio binary"
+            "audio binary, wav binary"
         ),
     )
 
@@ -244,20 +296,24 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
     )
 
 
-def audio_meta(media: DataFrame) -> DataFrame:
-    """Audio header decode → duration."""
+def audio_meta(media: DataFrame, col: str = "audio") -> DataFrame:
+    """Audio header decode → duration. Dual-format: real RIFF/WAVE
+    containers (parse_wav) or the FAUD fake."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, blob in zip(b["doc_id"], b["audio"]):
+            for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                rate, nsamples = struct.unpack(">ii", blob[4:12])
+                if blob[:4] == b"RIFF":
+                    rate, _ch, _bits, nsamples = parse_wav(blob)
+                else:
+                    rate, nsamples = struct.unpack(">ii", blob[4:12])
                 rows.append(
                     (int(doc_id), rate, nsamples, round(nsamples * 1000.0 / rate, 4))
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "rate", "n_samples", "duration_ms"])
 
-    return media.select("doc_id", "audio").mapInPandas(
+    return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, rate int, n_samples int, duration_ms double"
     )

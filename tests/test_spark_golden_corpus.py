@@ -72,3 +72,68 @@ def test_spark_job_span_counts_match_goldens(spark):
         assert by_kind.get("picture", 0) == len(gt["pictures"]), p.name
         # our span list includes the body root group; goldens don't
         assert by_kind.get("group", 0) - 1 == len(gt["groups"]), p.name
+
+
+def test_spark_job_doctags_matches_goldens(spark):
+    """DocTags through the FULL job: the 12 golden DoclingDocument JSONs go
+    in as docling_json blobs (content-sniffed), extract_pages runs with
+    with_doctags=True, and the doctags column must reproduce the frozen
+    *.doctags.txt goldens (same precision-ambiguity rule as the unit-level
+    golden test: two files differ in exactly one 2-decimal-rounding loc
+    token each, verified structurally)."""
+    import datetime
+
+    from test_doctags_golden import GOLDENS, _ambiguous_loc_only
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            f"https://corpus.test/{g.stem}.json",
+            ts,
+            g.with_name(g.name.replace(".doctags.txt", ".json")).read_bytes(),
+            None,
+            "en",
+        )
+        for g in GOLDENS
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {
+        r.url: r
+        for r in extract_pages(
+            pages, base_uri_mode="none", with_doctags=True
+        ).collect()
+    }
+    exact = 0
+    for g in GOLDENS:
+        r = out[f"https://corpus.test/{g.stem}.json"]
+        assert r.status == "success", f"{g.name}: {r.error}"
+        assert r.content_type == "docling_json"
+        want = g.read_text()
+        if r.doctags == want:
+            exact += 1
+        else:
+            assert _ambiguous_loc_only(r.doctags, want), g.name
+    assert exact >= 10
+
+
+def test_spark_job_ofd_fixtures(spark):
+    """OFD routing + extraction through the full job on all 4 upstream
+    fixtures (upstream ships no docling goldens — assert routing, status
+    and content recovery)."""
+    import datetime
+
+    ofd_dir = Path("/root/reference/tests/data/ofd")
+    ts = datetime.datetime(2024, 1, 1)
+    fixtures = sorted(ofd_dir.glob("*.ofd"))
+    rows = [
+        (f"https://corpus.test/{p.name}", ts, p.read_bytes(), None, "zh")
+        for p in fixtures
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {r.url: r for r in extract_pages(pages, base_uri_mode="none").collect()}
+    for p in fixtures:
+        r = out[f"https://corpus.test/{p.name}"]
+        assert r.content_type == "ofd", p.name
+        assert r.status == "success", f"{p.name}: {r.error}"
+        assert r.n_chars and r.n_chars > 10, p.name
+    assert "OFD Reader" in out["https://corpus.test/helloworld.ofd"].extracted_text
