@@ -509,9 +509,12 @@ def encrypt_pdf_rc4(
             payload = blob[start:send].rstrip(b"\r\n")
             out[start : start + len(payload)] = rc4(objkey(num), payload)
 
-    # append the encrypt object, then rebuild xref + trailer
+    # append the encrypt object, then rebuild xref + trailer.
+    # NB: cut at the xref TABLE ("\nxref"), not rfind(b"xref") — the latter
+    # would match inside "startxref" and leave stale trailer bytes behind
     enc_num = max_num + 1
-    body = bytes(out[: blob.rfind(b"xref")])
+    cut = blob.rfind(b"\nxref")
+    body = bytes(out[: cut + 1 if cut >= 0 else len(out)])
     offsets = {}
     for m in re.finditer(rb"(\d+)\s+0\s+obj\b", body):
         offsets[int(m.group(1))] = m.start()

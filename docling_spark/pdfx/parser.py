@@ -497,6 +497,21 @@ class PdfDocument:
         """Fallback: brute-force scan for `N G obj` (last wins per spec order)."""
         for m in re.finditer(rb"(?m)^[^\S\n]*(\d+)\s+(\d+)\s+obj\b", self.buf):
             self.xref[int(m.group(1))] = ("f", m.start(1))
+        # recover the Encrypt ref too: a rebuilt (xref-less) encrypted PDF
+        # must still authenticate instead of silently yielding ciphertext
+        if "Encrypt" not in self.trailer:
+            me = None
+            for me in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", self.buf):
+                pass
+            if me:
+                self.trailer["Encrypt"] = Ref(int(me.group(1)), int(me.group(2)))
+                mid = None
+                for mid in re.finditer(
+                    rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", self.buf
+                ):
+                    pass
+                if mid:
+                    self.trailer["ID"] = [bytes.fromhex(mid.group(1).decode())]
         if "Root" not in self.trailer:
             mt = None
             for mt in re.finditer(rb"/Root\s+(\d+)\s+(\d+)\s+R", self.buf):
