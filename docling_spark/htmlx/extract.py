@@ -102,6 +102,10 @@ _UNICODE_MAP = {
 
 
 def clean_unicode(text: str) -> str:
+    # every map key is non-ASCII, so pure-ASCII text (the common case) is a
+    # guaranteed no-op — one C-level check instead of 19 replace passes
+    if text.isascii():
+        return text
     for raw, repl in _UNICODE_MAP.items():
         text = text.replace(raw, repl)
     return text
