@@ -72,10 +72,10 @@ def main() -> None:
     )
     extract_pages(warm_pdf).count()
 
-    # two passes per query, min reported: the host VM's CPU capacity swings
-    # ~2x between minutes (steal time), and the min of two adjacent runs is
-    # the stable estimator of the plan's steady-state cost; both passes are
-    # recorded in `queries_runs` so the spread stays visible
+    # three passes per query, min reported: the host VM's CPU capacity
+    # swings ~2x between minutes (steal time), and the min of adjacent runs
+    # is the stable estimator of the plan's steady-state cost; all passes
+    # are recorded in `queries_runs` so the spread stays visible
     # chunk_spans: bench over the shallow corpus only. The queries() entry
     # unions a deep-nesting corpus for correctness coverage (2x the docs),
     # which would break round-over-round comparability of this timing; the
@@ -95,7 +95,7 @@ def main() -> None:
         if fn is None:
             continue
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()

@@ -579,15 +579,16 @@ class ExtractionRunner:
         pages = pages.withColumn(
             "_chunk", F.pmod(F.xxhash64("url"), F.lit(cfg.num_chunks))
         )
-        # decide the repartition width ONCE per run (not once per chunk — the
-        # RDD-lineage build behind getNumPartitions is driver-side work):
-        # widen small local inputs to the session parallelism; at real scale
-        # the scan has >= cores splits and no blob shuffle happens.
+        # decide the repartition width ONCE per run: widen small local
+        # inputs to the session parallelism; at real scale the scan has
+        # many file splits and no blob shuffle happens. inputFiles() is the
+        # probe — a driver-side file listing, unlike df.rdd which builds a
+        # whole RDD lineage (~100 ms per call)
         shuffle_partitions = cfg.shuffle_partitions
         if shuffle_partitions is None:
             try:
                 default_par = self.spark.sparkContext.defaultParallelism
-                if pages.rdd.getNumPartitions() < default_par:
+                if len(pages.inputFiles()) < default_par:
                     shuffle_partitions = default_par
             except Exception:
                 shuffle_partitions = None

@@ -25,7 +25,7 @@ def synth_pages(
     # auto repartition then skips its blob shuffle). Keeping the explode
     # upstream of the shuffle would serialize variant fan-out in one task.
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
     if variants > 1:
         docs = docs.withColumn(
@@ -137,7 +137,7 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blob assembly (and extraction downstream) runs on every core without
     # extract_pages ever needing to reshuffle the built blobs
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
 
     def build(batches):
@@ -179,7 +179,7 @@ def synth_pages_pdf_encrypted(
         "doc_id", "text", "lang"
     )
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
 
     def build(batches):
@@ -285,7 +285,7 @@ def synth_pages_pdf_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "lang"
     )
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
 
     def build(batches):
@@ -321,7 +321,7 @@ def synth_pages_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-hop lookup) is required to resolve its heading."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
     w = lambda k: F.split_part(F.col("text"), F.lit(" "), F.lit(k))  # noqa: E731
     html_str = F.concat(
@@ -425,7 +425,7 @@ def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → markdown source blobs (pure JVM string build)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
     md_str = F.concat(
         F.lit("# Document "),
@@ -460,7 +460,7 @@ def synth_pages_asciidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → asciidoc source blobs (pure JVM string build)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
     adoc_str = F.concat(
         F.lit("= Document "),
@@ -586,7 +586,7 @@ def _synth_office_pages(spark, sf_dir, build, suffix):
         "doc_id", "text", "lang"
     )
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par * 4, F.col("doc_id"))
 
     def gen(batches):

@@ -142,7 +142,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, image binary, video binary, audio binary)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
         docs = docs.repartition(par, "doc_id")
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
