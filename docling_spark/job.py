@@ -354,9 +354,27 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             # with zero text cells, which forces the OCR path
             # (/root/reference/docling/backend/image_backend.py:121-190);
             # OCR is NN-based and out of contract, so the row gets the same
-            # explicit needs_ocr status a 0-cell PDF page gets
+            # explicit needs_ocr status a 0-cell PDF page gets. For PNG (the
+            # one format with a real codec here, ops/png.py) the 1-page-doc
+            # wrap IS produced: a SpanDoc with a picture item sized to the
+            # genuinely decoded image, so downstream span consumers see the
+            # same structure the reference builds before OCR runs.
             out["status"] = "needs_ocr"
             out["error"] = "image input requires OCR (not in contract)"
+            try:
+                from .model import SpanDoc
+                from .ops.png import decode_png, is_png
+
+                if is_png(bytes(blob)):
+                    w, h, _c, _payload = decode_png(bytes(blob))
+                    doc = SpanDoc("image")
+                    pic = doc.add_picture()
+                    pic.prov = (1, 0.0, 0.0, float(w), float(h))
+                    doc.pages[1] = (float(w), float(h))
+                    out["spans"] = _doc_to_spans(doc)
+                    out["n_items"] = len(doc.items)
+            except Exception:
+                pass  # undecodable image keeps the bare needs_ocr row
         else:
             routed = _doc_backend(content_type, bytes(blob), url, base_uri_mode)
             if routed is None:

@@ -183,3 +183,18 @@ def test_corrupt_startxref_encrypted_pdf_still_authenticates():
     assert ok.text == extract_pdf_text(plain).text
     bad = extract_pdf_text(broken, password="bad")
     assert bad.status == "failure" and "encrypted" in bad.error
+
+
+def test_png_image_rows_carry_decoded_picture_span():
+    """Image rows stay needs_ocr (OCR is NN), but a decodable PNG now gets
+    the reference's 1-page-doc wrap: a picture item sized to the REAL
+    decoded dimensions (image_backend.py:121-190 analog)."""
+    from docling_spark.ops.multimodal import _img_params, make_png
+
+    r = _row(make_png(5), "image")
+    assert r["status"] == "needs_ocr"
+    kinds = [(s["kind"], s["label"]) for s in r["spans"]]
+    assert ("picture", "picture") in kinds
+    # undecodable image bytes: bare needs_ocr row, no crash
+    r2 = _row(b"\xff\xd8\xff jpeg-ish", "image")
+    assert r2["status"] == "needs_ocr" and r2["spans"] is None
