@@ -49,6 +49,16 @@ def convert_main(argv: list[str]) -> int:
         help="fail PDFs with more pages (reference DocumentLimits)",
     )
     p.add_argument(
+        "--abort-on-error",
+        action="store_true",
+        help="stop at the first failed document (reference raises_on_error)",
+    )
+    p.add_argument(
+        "--version",
+        action="version",
+        version="docling_spark 3.0 (docling 2.63.0 replication contract)",
+    )
+    p.add_argument(
         "--from",
         dest="from_formats",
         default=None,
@@ -292,6 +302,8 @@ def convert_main(argv: list[str]) -> int:
         except Exception as e:  # noqa: BLE001 — per-file containment
             print(f"FAILED {path.name}: {e}", file=sys.stderr)
             failures += 1
+            if args.abort_on_error:
+                return 1
             continue
         if doc is not None:
             # formats every SpanDoc backend supports; the PDF text path has

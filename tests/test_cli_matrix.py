@@ -133,3 +133,21 @@ def test_cli_pdf_password(tmp_path):
         )
         == 1
     )
+
+
+def test_cli_abort_on_error(tmp_path):
+    """--abort-on-error (reference raises_on_error) stops at the first
+    failure instead of converting the remaining sources."""
+    bad = tmp_path / "bad.pdf"
+    bad.write_bytes(b"%PDF-1.4 truncated")
+    good = DATA / "csv/csv-comma.csv"
+    out = tmp_path / "out"
+    rc = convert_main(
+        [str(bad), str(good), "--to", "md", "--output", str(out),
+         "--abort-on-error"]
+    )
+    assert rc == 1
+    assert not (out / "csv-comma.md").exists()
+    # default: containment, remaining sources still convert
+    rc2 = convert_main([str(bad), str(good), "--to", "md", "--output", str(out)])
+    assert rc2 == 1 and (out / "csv-comma.md").exists()
