@@ -458,6 +458,16 @@ def q_mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_meta(mm.synth_media(spark, sf_dir), col="wav")
 
 
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pipeline (ops/curate.py): extraction → dedup →
+    lang gate → length gate with per-document reason codes. Input is the
+    x2-variant corpus so the exact-dedup branch genuinely fires."""
+    from docling_spark.ops.curate import curate
+
+    pages = synth_pages(spark, sf_dir, variants=2)
+    return curate(extract_pages(pages, base_uri_mode="none"))
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -666,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_audio_meta": q_mm_audio_meta,
         "mm_wav_meta": q_mm_wav_meta,
+        "curate": q_curate,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
@@ -1166,6 +1177,34 @@ def oracle_sql() -> dict[str, str]:
                    round((1000 + (doc_id % 97) * 100) * 1000.0
                          / (8000 + (doc_id % 3) * 4000), 4) AS duration_ms
             FROM documents
+        """,
+        "curate": f"""
+            WITH paired AS (
+              SELECT {synth_url} AS url, doc_id, lang, text, 0 AS v
+              FROM documents
+              UNION ALL
+              SELECT 'https://synth.test/doc/' || doc_id || '-v1.html',
+                     doc_id, lang, text, 1
+              FROM documents
+            ),
+            t AS (
+              SELECT url, lang,
+                     len(string_split({SYNTH_MD_SQL}, ' ')) AS n_tokens,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY url)
+                         AS rn
+              FROM paired
+            )
+            SELECT url,
+                   (CASE WHEN rn > 1 THEN 'duplicate'
+                         WHEN lang <> 'en' THEN 'wrong_lang'
+                         WHEN n_tokens < 35 THEN 'too_short'
+                         ELSE 'ok' END) = 'ok' AS keep,
+                   CASE WHEN rn > 1 THEN 'duplicate'
+                        WHEN lang <> 'en' THEN 'wrong_lang'
+                        WHEN n_tokens < 35 THEN 'too_short'
+                        ELSE 'ok' END AS reason,
+                   CAST(n_tokens AS INTEGER) AS n_tokens
+            FROM t
         """,
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (

@@ -152,3 +152,16 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         for t in ("li_bucketed", "ord_bucketed"):
             s.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_curate_single_udf_one_dedup_exchange(spark):
+    """The composed curation pipeline runs the extraction UDF ONCE and adds
+    exactly one exchange beyond it (the doc_hash dedup window); every gate
+    is a narrow expression."""
+    df = entry.q_curate(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert plan.count("MapInPandas") == 1
+    # corpus synthesis repartition + dedup-window hash partition
+    assert plan.count("Exchange") == 2
+    assert "row_number" in plan
