@@ -517,6 +517,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 50), bits=16)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs (ops/dedup.simhash_candidate_pairs):
+    shared-band equi-join + exact hamming filter — the hamming-ball scale
+    path, value-checked band-for-band and bit-for-bit in DuckDB."""
+    return dedup.simhash_candidate_pairs(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 50),
+        bits=16,
+        bands=4,
+        max_hamming=3,
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.token_count(_docs(spark, sf_dir))
 
@@ -684,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -1269,6 +1282,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
         "simhash": _simhash_bits_sql(16),
+        "simhash_pairs": f"""
+            WITH sigs AS ({_simhash_bits_sql(16)}),
+            banded AS (
+              SELECT doc_id, simhash, b.band,
+                     substring(simhash, 1 + b.band * 4, 4) AS band_bits
+              FROM sigs, LATERAL (SELECT unnest(range(0, 4)) AS band) b
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM banded a
+              JOIN banded b
+                ON a.band = b.band AND a.band_bits = b.band_bits
+               AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(range(1, 17),
+                        i -> substring(sa, i, 1) <> substring(sb, i, 1)))
+                        AS INTEGER) AS hamming
+            FROM cand
+            WHERE len(list_filter(range(1, 17),
+                  i -> substring(sa, i, 1) <> substring(sb, i, 1))) <= 3
+        """,
         "token_count": """
             SELECT doc_id,
                    len(string_split(text, ' ')) AS n_tokens,

@@ -159,3 +159,66 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         *[F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(bits)]
     )
     return agg.select("doc_id", bitstr.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    docs: DataFrame, bits: int = 16, bands: int = 4, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs, banded: the scale path for hamming-ball
+    search. Signatures split into ``bands`` equal substrings; any shared
+    band → candidate (a pair within hamming distance bands-1 must agree on
+    at least one band, pigeonhole), then the exact hamming distance filters
+    to ``max_hamming``. One equi-join on (band_idx, band_bits) instead of
+    an all-pairs comparison — identical shape to the MinHash LSH join."""
+    assert bits % bands == 0
+    width = bits // bands
+    sigs = simhash(docs, bits)
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.substring("simhash", 1 + i * width, width).alias(
+                            "band_bits"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.band_bits")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.sequence(F.lit(1), F.lit(bits)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.col("sig_a").substr(i, F.lit(1))
+            != F.col("sig_b").substr(i, F.lit(1)),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
