@@ -79,3 +79,35 @@ def test_doctags_byte_identical_count():
         if to_doctags(doc) == golden.read_text():
             exact += 1
     assert exact >= 10, f"only {exact}/12 byte-identical"
+
+
+def test_doctags_serializes_every_backend_output():
+    """No reference doctags goldens exist for the non-PDF backends, but the
+    serializer must handle any SpanDoc the engine can produce: well-formed
+    root, balanced list wrappers, non-empty output for non-empty docs."""
+    from pathlib import Path
+
+    from docling_spark.csvx import extract_csv
+    from docling_spark.docxx import extract_docx
+    from docling_spark.htmlx.extract import extract_html
+    from docling_spark.mdx import extract_markdown
+    from docling_spark.ofdx import extract_ofd
+    from docling_spark.vttx import extract_vtt
+    from docling_spark.xlsxx import extract_xlsx
+
+    data = Path("/root/reference/tests/data")
+    docs = [
+        extract_html((data / "html/example_01.html").read_bytes(), base_uri="None", name="x"),
+        extract_docx((data / "docx/word_sample.docx").read_bytes(), name="x"),
+        extract_xlsx((data / "xlsx/xlsx_01.xlsx").read_bytes(), name="x"),
+        extract_csv((data / "csv/csv-comma.csv").read_bytes(), name="x"),
+        extract_markdown((data / "md/wiki.md").read_bytes(), name="x"),
+        extract_vtt((data / "webvtt/webvtt_example_01.vtt").read_bytes(), name="x"),
+        extract_ofd((data / "ofd/helloworld.ofd").read_bytes(), name="x"),
+    ]
+    for doc in docs:
+        out = to_doctags(doc)
+        assert out.startswith("<doctag>") and out.endswith("</doctag>")
+        assert len(out) > len("<doctag>\n</doctag>")
+        for tag in ("unordered_list", "ordered_list", "otsl"):
+            assert out.count(f"<{tag}>") == out.count(f"</{tag}>"), tag
