@@ -79,7 +79,7 @@ def _normalize_posix(path: str) -> str:
 
 
 def _resolve_path(
-    document_dir: str, base_loc: Optional[str], target: Optional[str]
+    document_dir: str, res_base: Optional[str], target: Optional[str]
 ) -> Optional[str]:
     if not target or not target.strip():
         return None
@@ -87,11 +87,11 @@ def _resolve_path(
     if target.startswith("/"):
         return _normalize_posix(target)
     base = document_dir
-    if base_loc:
-        if base_loc.startswith("/"):
-            base = _normalize_posix(base_loc)
+    if res_base:
+        if res_base.startswith("/"):
+            base = _normalize_posix(res_base)
         else:
-            base = _normalize_posix(posixpath.join(document_dir, base_loc))
+            base = _normalize_posix(posixpath.join(document_dir, res_base))
     return _normalize_posix(posixpath.join(base, target))
 
 
@@ -108,7 +108,7 @@ class _TextItem:
     y: float
     width: float
     height: float
-    font_size: float
+    glyph_size: float
 
 
 @dataclass
@@ -121,11 +121,11 @@ def _is_pua(ch: str) -> bool:
     return 0xE000 <= ord(ch) <= 0xF8FF
 
 
-def _estimate_text_width(text: str, font_size: Optional[float]) -> float:
+def _estimate_text_width(text: str, glyph_size: Optional[float]) -> float:
     # reference ofd_backend.py:145-149
-    if font_size is None or font_size <= 0:
-        font_size = 6.0
-    return font_size * 0.6 * max(len(text), 1)
+    if glyph_size is None or glyph_size <= 0:
+        glyph_size = 6.0
+    return glyph_size * 0.6 * max(len(text), 1)
 
 
 def _decode_block_text(raw_text: str) -> str:
@@ -138,23 +138,23 @@ def _decode_block_text(raw_text: str) -> str:
     return cleaned if cleaned else raw_text
 
 
-def _merge_line_text(line_items: List[_TextItem]) -> str:
+def _merge_line_text(row_items: List[_TextItem]) -> str:
     # reference ofd_backend.py:441-454 (gap > max(font*0.6, 0.8) → space)
     pieces: List[str] = []
-    prev_end: Optional[float] = None
-    for item in line_items:
+    cursor_x: Optional[float] = None
+    for item in row_items:
         width = (
             item.width
             if item.width > 0
-            else _estimate_text_width(item.text, item.font_size)
+            else _estimate_text_width(item.text, item.glyph_size)
         )
-        if prev_end is not None:
-            gap = item.x - prev_end
-            threshold = max(item.font_size * 0.6, 0.8)
+        if cursor_x is not None:
+            gap = item.x - cursor_x
+            threshold = max(item.glyph_size * 0.6, 0.8)
             if gap > threshold:
                 pieces.append(" ")
         pieces.append(item.text)
-        prev_end = item.x + width
+        cursor_x = item.x + width
     return "".join(pieces)
 
 
@@ -163,32 +163,32 @@ def _group_lines(items: List[_TextItem]) -> List[dict]:
     # threshold max(heights, font)*0.6 + 0.8
     if not items:
         return []
-    sorted_items = sorted(items, key=lambda i: (round(i.y, 3), i.x))
-    grouped: List[List[_TextItem]] = []
-    current: List[_TextItem] = []
-    current_top: Optional[float] = None
-    current_height: Optional[float] = None
-    for item in sorted_items:
+    ordered = sorted(items, key=lambda i: (round(i.y, 3), i.x))
+    line_groups: List[List[_TextItem]] = []
+    open_line: List[_TextItem] = []
+    open_top: Optional[float] = None
+    open_height: Optional[float] = None
+    for item in ordered:
         top, height = item.y, item.height
-        if current:
-            vertical_gap = abs(top - current_top)
+        if open_line:
+            dy = abs(top - open_top)
             threshold = (
-                max(current_height, height, item.font_size or height, 1.0) * 0.6
+                max(open_height, height, item.glyph_size or height, 1.0) * 0.6
                 + 0.8
             )
-            if vertical_gap <= threshold:
-                current.append(item)
-                current_top = min(current_top, top)
-                current_height = max(current_height, height)
+            if dy <= threshold:
+                open_line.append(item)
+                open_top = min(open_top, top)
+                open_height = max(open_height, height)
             else:
-                grouped.append(current)
-                current, current_top, current_height = [item], top, height
+                line_groups.append(open_line)
+                open_line, open_top, open_height = [item], top, height
         else:
-            current, current_top, current_height = [item], top, height
-    if current:
-        grouped.append(current)
+            open_line, open_top, open_height = [item], top, height
+    if open_line:
+        line_groups.append(open_line)
     out: List[dict] = []
-    for line in grouped:
+    for line in line_groups:
         line.sort(key=lambda i: i.x)
         text = _merge_line_text(line).strip()
         if not text:
@@ -208,26 +208,26 @@ def _build_paragraphs(lines: List[dict]) -> List[str]:
     # gap exceeds 1.4x the line height
     if not lines:
         return []
-    paragraphs: List[str] = []
-    current_lines: List[str] = []
-    prev_top: Optional[float] = None
-    prev_height: Optional[float] = None
+    paras: List[str] = []
+    para_lines: List[str] = []
+    last_top: Optional[float] = None
+    last_height: Optional[float] = None
     for entry in lines:
         text, top, height = entry["text"], entry["top"], entry["height"]
-        if prev_top is None:
-            current_lines = [text]
+        if last_top is None:
+            para_lines = [text]
         else:
-            gap = top - prev_top
-            threshold = max(prev_height or height, height, 1.0) * 1.4
+            gap = top - last_top
+            threshold = max(last_height or height, height, 1.0) * 1.4
             if gap > threshold:
-                paragraphs.append(" ".join(current_lines).strip())
-                current_lines = [text]
+                paras.append(" ".join(para_lines).strip())
+                para_lines = [text]
             else:
-                current_lines.append(text)
-        prev_top, prev_height = top, height
-    if current_lines:
-        paragraphs.append(" ".join(current_lines).strip())
-    return [p for p in paragraphs if p]
+                para_lines.append(text)
+        last_top, last_height = top, height
+    if para_lines:
+        paras.append(" ".join(para_lines).strip())
+    return [p for p in paras if p]
 
 
 class _OfdZip:
@@ -254,12 +254,12 @@ class _OfdZip:
         body = root.find(".//ofd:DocBody", self.ns)
         if body is None:
             raise ValueError("Unable to locate DocBody in OFD.xml")
-        doc_root_elem = body.find("ofd:DocRoot", self.ns)
-        if doc_root_elem is None or not doc_root_elem.text:
+        docroot_el = body.find("ofd:DocRoot", self.ns)
+        if docroot_el is None or not docroot_el.text:
             raise ValueError("DocRoot element missing in OFD.xml")
-        doc_root_path = doc_root_elem.text.strip()
-        document_dir = posixpath.dirname(doc_root_path)
-        document_root = self._xml(doc_root_path)
+        docroot_loc = docroot_el.text.strip()
+        document_dir = posixpath.dirname(docroot_loc)
+        document_root = self._xml(docroot_loc)
 
         images: Dict[str, str] = {}
         common = document_root.find("ofd:CommonData", self.ns)
@@ -267,48 +267,48 @@ class _OfdZip:
             for tag_name in ("PublicRes", "DocumentRes"):
                 for res_elem in common.findall(f"ofd:{tag_name}", self.ns):
                     if res_elem.text:
-                        res_path = _resolve_path(document_dir, None, res_elem.text)
-                        if res_path and res_path in self.names:
-                            self._parse_resources(res_path, document_dir, images)
+                        res_loc = _resolve_path(document_dir, None, res_elem.text)
+                        if res_loc and res_loc in self.names:
+                            self._parse_resources(res_loc, document_dir, images)
 
         pages: List[_Page] = []
         pages_elem = document_root.find("ofd:Pages", self.ns)
         if pages_elem is not None:
             for page_elem in pages_elem.findall("ofd:Page", self.ns):
-                page_path = _resolve_path(
+                page_loc = _resolve_path(
                     document_dir, None, page_elem.get("BaseLoc")
                 )
-                if not page_path or page_path not in self.names:
+                if not page_loc or page_loc not in self.names:
                     continue
-                pages.append(self._parse_page(self._xml(page_path)))
+                pages.append(self._parse_page(self._xml(page_loc)))
         return metadata, pages, images
 
     def _parse_resources(
-        self, res_path: str, document_dir: str, images: Dict[str, str]
+        self, res_loc: str, document_dir: str, images: Dict[str, str]
     ) -> None:
-        res_root = self._xml(res_path)
-        base_loc = res_root.get("BaseLoc")
-        for mm in res_root.findall("ofd:MultiMedias/ofd:MultiMedia", self.ns):
+        res_xml = self._xml(res_loc)
+        res_base = res_xml.get("BaseLoc")
+        for mm in res_xml.findall("ofd:MultiMedias/ofd:MultiMedia", self.ns):
             media_id = mm.get("ID")
             if not media_id:
                 continue
             mf = mm.find("ofd:MediaFile", self.ns)
             path = (
-                _resolve_path(document_dir, base_loc, mf.text)
+                _resolve_path(document_dir, res_base, mf.text)
                 if mf is not None and mf.text
                 else None
             )
             images[media_id] = path or ""
 
-    def _parse_page(self, page_root: ET.Element) -> _Page:
+    def _parse_page(self, page_xml: ET.Element) -> _Page:
         page = _Page()
-        for layer in page_root.findall("ofd:Content/ofd:Layer", self.ns):
-            for text_elem in layer.findall("ofd:TextObject", self.ns):
-                boundary = _parse_boundary(text_elem.get("Boundary"))
-                font_size = _to_float(text_elem.get("Size"))
+        for layer in page_xml.findall("ofd:Content/ofd:Layer", self.ns):
+            for tobj in layer.findall("ofd:TextObject", self.ns):
+                boundary = _parse_boundary(tobj.get("Boundary"))
+                glyph_size = _to_float(tobj.get("Size"))
                 raw = "".join(
                     tc.text or ""
-                    for tc in text_elem.findall("ofd:TextCode", self.ns)
+                    for tc in tobj.findall("ofd:TextCode", self.ns)
                 )
                 if not raw:
                     continue
@@ -316,9 +316,9 @@ class _OfdZip:
                 if not text.strip():
                     continue
                 x, y, width, height = boundary
-                fs = font_size or 0.0
+                fs = glyph_size or 0.0
                 if width <= 0:
-                    width = _estimate_text_width(text, font_size)
+                    width = _estimate_text_width(text, glyph_size)
                 if height <= 0:
                     height = (
                         max(fs * 1.2, 2.0)
@@ -332,11 +332,11 @@ class _OfdZip:
                         y=y,
                         width=width,
                         height=height,
-                        font_size=fs or height,
+                        glyph_size=fs or height,
                     )
                 )
-            for image_elem in layer.findall("ofd:ImageObject", self.ns):
-                rid = image_elem.get("ResourceID")
+            for iobj in layer.findall("ofd:ImageObject", self.ns):
+                rid = iobj.get("ResourceID")
                 if rid:
                     page.image_resource_ids.append(rid)
         return page
