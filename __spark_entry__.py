@@ -164,6 +164,25 @@ def q_spans_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character offsets of each span in extracted_text (north rule:
+    "extracted text + span offsets", serialize.to_markdown_with_spans).
+    The oracle recomputes every offset arithmetically from the synth
+    template — any drift in block placement or separators breaks it."""
+    pages = synth_pages(spark, sf_dir)
+    out = extract_pages(pages, base_uri_mode="none")
+    sp = out.select("url", F.explode("spans").alias("s")).filter(
+        F.col("s.char_start").isNotNull()
+    )
+    return sp.select(
+        "url",
+        F.col("s.idx").alias("idx"),
+        F.col("s.label").alias("label"),
+        F.col("s.char_start").alias("char_start"),
+        F.col("s.char_end").alias("char_end"),
+    )
+
+
 def q_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical chunker: spans tree → (heading, chunk_text) rows.
     Input is the shallow corpus UNION the deep-nesting corpus (3-level
@@ -663,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hash": q_doc_hash,
         "size_limits": q_size_limits,
         "spans_export": q_spans_export,
+        "span_offsets": q_span_offsets,
         "chunk_spans": q_chunk_spans,
         "doc_json": q_doc_json,
         "doctags_export": q_doctags_export,
@@ -900,6 +920,41 @@ def oracle_sql() -> dict[str, str]:
                      ELSE NULL END AS text,
                    r.layer
             FROM documents d CROSS JOIN rows r
+        """,
+        "span_offsets": f"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     length(CAST(doc_id AS VARCHAR)) AS L,
+                     length(text) AS T,
+                     length(split_part(text, ' ', 1)) AS W1,
+                     length(split_part(text, ' ', 2)) AS W2,
+                     length(split_part(text, ' ', 3)) AS W3
+              FROM documents
+            ),
+            rows AS (
+              SELECT doc_id, 2 AS idx, 'title' AS label,
+                     0 AS s, 11 + L AS e FROM m
+              UNION ALL
+              SELECT doc_id, 3, 'text', 13 + L, 13 + L + T FROM m
+              UNION ALL
+              SELECT doc_id, 5, 'list_item', 15 + L + T,
+                     15 + L + T + 2 + W1 FROM m
+              UNION ALL
+              SELECT doc_id, 6, 'list_item', 18 + L + T + W1,
+                     18 + L + T + W1 + 2 + W2 FROM m
+              UNION ALL
+              SELECT doc_id, 7, 'list_item', 21 + L + T + W1 + W2,
+                     21 + L + T + W1 + W2 + 2 + W3 FROM m
+              UNION ALL
+              -- github table: both columns pad to width 3 (K/V vs kNN/vNN),
+              -- three 13-char lines + 2 newlines = 41 chars
+              SELECT doc_id, 8, 'table', 25 + L + T + W1 + W2 + W3,
+                     25 + L + T + W1 + W2 + W3 + 41 FROM m
+            )
+            SELECT {synth_url} AS url, idx, label,
+                   CAST(s AS INTEGER) AS char_start,
+                   CAST(e AS INTEGER) AS char_end
+            FROM rows
         """,
         "chunk_spans": f"""
             SELECT {synth_url} AS url, 3 AS span_idx,

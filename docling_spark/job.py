@@ -164,10 +164,12 @@ def dedup_latest_crawl(df: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------------ UDF core
-def _doc_to_spans(doc) -> list[dict]:
+def _doc_to_spans(doc, offsets: "dict | None" = None) -> list[dict]:
     spans = []
+    offsets = offsets or {}
     for it in doc.items:
         f = it.formatting
+        cs = offsets.get(it.idx)
         spans.append(
             {
                 "idx": it.idx,
@@ -188,6 +190,8 @@ def _doc_to_spans(doc) -> list[dict]:
                 "content_layer": it.content_layer,
                 "num_rows": it.num_rows if it.kind == "table" else None,
                 "num_cols": it.num_cols if it.kind == "table" else None,
+                "char_start": cs[0] if cs else None,
+                "char_end": cs[1] if cs else None,
             }
         )
     return spans
@@ -381,10 +385,12 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 out["status"] = "skipped"
                 out["error"] = "unsupported content_type"
             else:
-                from .serialize import to_itxt, to_markdown
+                from .serialize import to_itxt, to_markdown_with_spans
 
                 doc, filename, mimetype, itxt_width, md_kwargs = routed
-                md = to_markdown(doc, **md_kwargs)
+                # byte-identical to to_markdown (golden-pinned) + per-item
+                # char offsets for the spans column
+                md, offsets = to_markdown_with_spans(doc, **md_kwargs)
                 doc_json = None
                 if with_doc_json:
                     from .serialize_json import to_docling_json
@@ -400,7 +406,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                     status="success",
                     extracted_text=md,
                     itxt=to_itxt(doc, itxt_width),
-                    spans=_doc_to_spans(doc),
+                    spans=_doc_to_spans(doc, offsets),
                     n_items=len(doc.items),
                     n_chars=len(md),
                     doc_json=doc_json,

@@ -55,6 +55,13 @@ SPAN_TYPE = StructType(
         StructField("content_layer", StringType(), False),
         StructField("num_rows", IntegerType(), True),
         StructField("num_cols", IntegerType(), True),
+        # character offsets of the item's emitted block(s) in extracted_text
+        # (north rule: "extracted text + span offsets"); NULL for items that
+        # emit nothing (furniture outside md layers) and for backends
+        # without a SpanDoc (pdf structural spans carry bbox geometry
+        # instead)
+        StructField("char_start", IntegerType(), True),
+        StructField("char_end", IntegerType(), True),
     ]
 )
 

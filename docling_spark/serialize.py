@@ -79,6 +79,13 @@ class _MdWriter:
         self.layers = layers
         self.escape_html = escape_html
         self.blocks: list[str] = []
+        # one owner per block: item idx, ("lines", [idx-per-line]) for list
+        # blocks, or None — consumed by run_with_spans (char offsets)
+        self._owners: list = []
+
+    def _put(self, owner, text: str) -> None:
+        self.blocks.append(text)
+        self._owners.append(owner)
 
     def _visible(self, item: Item) -> bool:
         return item.content_layer in self.layers
@@ -88,15 +95,50 @@ class _MdWriter:
             self._block(self.doc.items[cidx])
         return "\n\n".join(self.blocks).strip()
 
+    def run_with_spans(self) -> "tuple[str, dict[int, tuple[int, int]]]":
+        """markdown + per-item character offsets into it (north rule:
+        "extracted text + span offsets"). Invariants (test-pinned): the
+        markdown is byte-identical to :meth:`run`, and md[start:end] is
+        exactly the text the item emitted."""
+        for cidx in self.doc.items[0].children:
+            self._block(self.doc.items[cidx])
+        md_full = "\n\n".join(self.blocks)
+        md = md_full.strip()
+        lead = len(md_full) - len(md_full.lstrip())
+        spans: dict[int, list[int]] = {}
+
+        def add(idx: int, s: int, e: int) -> None:
+            s, e = max(0, s - lead), max(0, min(e - lead, len(md)))
+            s = min(s, e)
+            if idx in spans:
+                spans[idx][0] = min(spans[idx][0], s)
+                spans[idx][1] = max(spans[idx][1], e)
+            else:
+                spans[idx] = [s, e]
+
+        pos = 0
+        for block, owner in zip(self.blocks, self._owners):
+            if isinstance(owner, tuple) and owner[0] == "lines":
+                lpos = pos
+                for line, lowner in zip(block.split("\n"), owner[1]):
+                    if lowner is not None:
+                        add(lowner, lpos, lpos + len(line))
+                    lpos += len(line) + 1
+            elif owner is not None:
+                add(owner, pos, pos + len(block))
+            pos += len(block) + 2
+        return md, {k: (v[0], v[1]) for k, v in spans.items()}
+
     # -- block-level dispatch -------------------------------------------------
     def _block(self, item: Item) -> None:
         doc = self.doc
         if item.kind == "group":
             if item.label == "list":
                 lines: list[str] = []
-                self._list_lines(item, 0, lines)
+                line_owners: list = []
+                self._list_lines(item, 0, lines, line_owners)
                 if lines:
-                    self.blocks.append("\n".join(lines))
+                    self._put(("lines", line_owners), "\n".join(lines))
             elif item.label == "inline":
                 if self._visible(item):
                     parts = [
@@ -107,7 +149,7 @@ class _MdWriter:
                     ]
                     text = " ".join(p for p in parts if p)
                     if text:
-                        self.blocks.append(text)
+                        self._put(item.idx, text)
             else:  # section / unspecified: transparent
                 for c in item.children:
                     self._block(doc.items[c])
@@ -138,7 +180,7 @@ class _MdWriter:
                     else:
                         plain_children.append(c)
                 joined = " ".join(([head] if head else []) + inline_parts)
-                self.blocks.append(f"{prefix} {joined}".rstrip())
+                self._put(item.idx, f"{prefix} {joined}".rstrip())
                 for c in plain_children:
                     self._block(doc.items[c])
                 return
@@ -147,39 +189,41 @@ class _MdWriter:
                 # reference CodeItem serialization (escaped_characters.md.md
                 # golden: single-line code span under a heading → fenced);
                 # backtick form is reserved for inline-group contexts
-                self.blocks.append(f"```\n{item.text}\n```")
+                self._put(item.idx, f"```\n{item.text}\n```")
             elif item.label == "formula":
                 # standalone FormulaItem → display math (equations.docx.md)
-                self.blocks.append(f"$${item.text}$$")
+                self._put(item.idx, f"$${item.text}$$")
             else:
                 txt = _inline(item, self.escape_html)
                 if txt:
-                    self.blocks.append(txt)
+                    self._put(item.idx, txt)
             for c in item.children:
                 self._block(doc.items[c])
         elif item.kind == "picture":
             for cap in item.captions:
                 cap_it = self.doc.items[cap]
                 if cap_it.text:
-                    self.blocks.append(_escape_text(cap_it.text, self.escape_html))
-            self.blocks.append("<!-- image -->")
+                    self._put(cap, _escape_text(cap_it.text, self.escape_html))
+            self._put(item.idx, "<!-- image -->")
         elif item.kind == "table":
             for cap in item.captions:
                 cap_it = self.doc.items[cap]
                 if cap_it.text:
-                    self.blocks.append(_escape_text(cap_it.text, self.escape_html))
+                    self._put(cap, _escape_text(cap_it.text, self.escape_html))
             grid_md = self._table_md(item)
             if grid_md:
-                self.blocks.append(grid_md)
+                self._put(item.idx, grid_md)
 
     # -- lists ------------------------------------------------------------------
-    def _list_lines(self, group: Item, depth: int, lines: list[str]) -> None:
+    def _list_lines(
+        self, group: Item, depth: int, lines: list[str], owners: list
+    ) -> None:
         doc = self.doc
         pos = 0
         for cidx in group.children:
             child = doc.items[cidx]
             if child.kind == "group" and child.label == "list":
-                self._list_lines(child, depth + 1, lines)
+                self._list_lines(child, depth + 1, lines, owners)
                 continue
             if child.kind == "picture" and self._visible(child):
                 # images inside <li> attach to the list group; they render as
@@ -188,7 +232,9 @@ class _MdWriter:
                     cap_it = doc.items[cap]
                     if cap_it.text:
                         lines.append(_escape_text(cap_it.text, self.escape_html))
+                        owners.append(cap)
                 lines.append("<!-- image -->")
+                owners.append(child.idx)
                 continue
             if child.label != "list_item" or not self._visible(child):
                 continue
@@ -220,8 +266,9 @@ class _MdWriter:
             # golden "- l1 "); only a fully empty item collapses to bare "-"
             line = f"{' ' * 4 * depth}{marker} {' '.join(parts)}"
             lines.append(line if parts else line.rstrip())
+            owners.append(child.idx)
             for sub in sublists:
-                self._list_lines(sub, depth + 1, lines)
+                self._list_lines(sub, depth + 1, lines, owners)
 
     # -- tables -------------------------------------------------------------------
     def _cell_content(self, item: Item, cell) -> str:
@@ -258,6 +305,19 @@ def to_markdown(
     escape_html: bool = True,
 ) -> str:
     return _MdWriter(doc, frozenset(layers), escape_html).run()
+
+
+def to_markdown_with_spans(
+    doc: SpanDoc,
+    layers: Iterable[str] = DEFAULT_LAYERS,
+    escape_html: bool = True,
+) -> "tuple[str, dict[int, tuple[int, int]]]":
+    """markdown + {item_idx: (char_start, char_end)} offsets into it — the
+    north rule's "extracted text + span offsets". The markdown is
+    byte-identical to :func:`to_markdown` (golden-pinned); offsets cover
+    the block(s) each item emitted (heading line, paragraph, its list
+    line, table grid, caption, image placeholder)."""
+    return _MdWriter(doc, frozenset(layers), escape_html).run_with_spans()
 
 
 # ----------------------------------------------------- github-style md tables
