@@ -328,6 +328,18 @@ def q_md_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "status", "content_type", "extracted_text")
 
 
+def q_doctags_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocTags as INPUT (docling_spark/doctagsx.py — the VLM-interchange
+    parse, exact inverse of the serializer): synth doctags blobs through
+    the full job, md value-checked."""
+    from docling_spark.ops.corpus import synth_pages_doctags
+
+    out = extract_pages(
+        synth_pages_doctags(spark, sf_dir), base_uri_mode="none"
+    )
+    return out.select("url", "status", "content_type", "extracted_text")
+
+
 def q_ofd_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OFD backend (GB/T 33190 zip, ofdx.py) through the full Spark job."""
     from docling_spark.ops.corpus import synth_pages_ofd
@@ -693,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_chunks": q_pdf_chunks,
         "md_extract": q_md_extract,
         "ofd_extract": q_ofd_extract,
+        "doctags_extract": q_doctags_extract,
         "asciidoc_extract": q_asciidoc_extract,
         "docx_extract": q_docx_extract,
         "xlsx_extract": q_xlsx_extract,
@@ -1063,6 +1076,20 @@ def oracle_sql() -> dict[str, str]:
                    || '- ' || split_part(text, ' ', 1) || chr(10)
                    || '- ' || split_part(text, ' ', 2) || chr(10)
                    || '- ' || split_part(text, ' ', 3) AS extracted_text
+            FROM documents
+        """,
+        "doctags_extract": """
+            SELECT 'https://synth.test/doc/' || doc_id || '.doctags.txt' AS url,
+                   'success' AS status, 'doctags' AS content_type,
+                   '# Document ' || doc_id || chr(10) || chr(10) || text
+                   || chr(10) || chr(10)
+                   || '- ' || split_part(text, ' ', 1) || chr(10)
+                   || '- ' || split_part(text, ' ', 2) || chr(10)
+                   || '- ' || split_part(text, ' ', 3) || chr(10) || chr(10)
+                   || '| K   | V   |' || chr(10) || '|-----|-----|' || chr(10)
+                   || '| k' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' | v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' |' AS extracted_text
             FROM documents
         """,
         "ofd_extract": """

@@ -267,6 +267,18 @@ def convert_main(argv: list[str]) -> int:
                         doc, path.name, raw, mimetype="text/markdown"
                     ),
                 }
+            elif raw.lstrip()[:8] == b"<doctag>":
+                from .doctagsx import parse_doctags
+
+                doc = parse_doctags(raw, name=path.stem)
+                outputs = {
+                    "md": to_markdown(doc),
+                    "text": to_markdown(doc),
+                    "itxt": to_itxt(doc, 70),
+                    "json": to_docling_json(
+                        doc, path.name, raw, mimetype="text/plain"
+                    ),
+                }
             elif path.suffix.lower() == ".ofd" or (
                 raw[:2] == b"PK" and b"OFD.xml" in raw
             ):

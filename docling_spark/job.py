@@ -146,6 +146,7 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
             "docling_json",
         )
+        .when(head.rlike(r"(?s)^\s*<doctag>"), "doctags")
         .when(head.rlike(_HTML_SNIFF_RE), "html")
         .otherwise("other"),
     )
@@ -279,6 +280,12 @@ def _doc_backend(content_type: str, blob: bytes, url: str, base_uri_mode: str):
         from .csvx import extract_csv
 
         return extract_csv(blob, name=stem), filename, "text/csv", 70, {}
+    if content_type == "doctags":
+        from .doctagsx import parse_doctags
+
+        # VLM-interchange format (docling-core DocTagsDocument role);
+        # round-trip-exact inverse of serialize_doctags.to_doctags
+        return parse_doctags(blob, name=stem), filename, "text/plain", 70, {}
     if content_type == "ofd":
         from .ofdx import extract_ofd
 

@@ -420,6 +420,40 @@ def synth_pages_ofd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _synth_office_pages(spark, sf_dir, synth_ofd_bytes, ".ofd")
 
 
+def synth_pages_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → doctags source blobs (the VLM-interchange input
+    format), pure JVM string build mirroring the HTML corpus structure."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+    w = lambda k: F.split_part(F.col("text"), F.lit(" "), F.lit(k))  # noqa: E731
+    did = F.col("doc_id").cast("string")
+    id2 = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    dt = F.concat(
+        F.lit("<doctag><title>Document "), did, F.lit("</title>\n"),
+        F.lit("<text>"), F.col("text"), F.lit("</text>\n"),
+        F.lit("<unordered_list><list_item>"), w(1),
+        F.lit("</list_item>\n<list_item>"), w(2),
+        F.lit("</list_item>\n<list_item>"), w(3),
+        F.lit("</list_item>\n</unordered_list>\n"),
+        F.lit("<otsl><ched>K<ched>V<nl><fcel>k"), id2,
+        F.lit("<fcel>v"), id2, F.lit("<nl></otsl>\n</doctag>"),
+    )
+    return docs.select(
+        F.concat(
+            F.lit("https://synth.test/doc/"), did, F.lit(".doctags.txt")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(dt, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 # ----------------------------------------- synthetic md / asciidoc sources
 def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → markdown source blobs (pure JVM string build)."""
