@@ -134,6 +134,26 @@ def q_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Located DocTags from the deterministic PDF path (the reference's VLM
+    pipelines emit exactly this format): structural blocks → SpanDoc →
+    doctags, loc tokens quantizing REAL block geometry. The oracle checks
+    the tag/text stream with loc tokens stripped (geometry is pinned by the
+    pdfx unit tests; encoded coordinates are layout-engine specific)."""
+    from docling_spark.ops.corpus import synth_pages_pdf_structured
+
+    out = extract_pages(
+        synth_pages_pdf_structured(spark, sf_dir),
+        base_uri_mode="none",
+        with_doctags=True,
+    )
+    return out.select(
+        "url",
+        "status",
+        F.regexp_replace("doctags", r"<loc_\d+>", "").alias("doctags_nolocs"),
+    )
+
+
 def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML ∪ PDF corpus → content sniffing → per-branch counts."""
     from docling_spark.ops.corpus import synth_pages_pdf
@@ -689,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "pdf_encrypted": q_pdf_encrypted,
         "structured_extract": q_structured_extract,
+        "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
         "doc_hash": q_doc_hash,
@@ -884,6 +905,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://synth.test/doc/' || doc_id || '-enc.pdf',
                    'no_password', 'failure', NULL,
                    'encrypted PDF: wrong or missing password'
+            FROM documents
+        """,
+        "pdf_doctags": """
+            SELECT 'https://synth.test/doc/' || doc_id || '-struct.pdf' AS url,
+                   'success' AS status,
+                   '<doctag><section_header_level_1>Document ' || doc_id
+                   || '</section_header_level_1>' || chr(10)
+                   || '<section_header_level_2>Section '
+                   || split_part(text, ' ', 1)
+                   || '</section_header_level_2>' || chr(10)
+                   || '<unordered_list><list_item>'
+                   || split_part(text, ' ', 1) || '</list_item>' || chr(10)
+                   || '<list_item>' || split_part(text, ' ', 2)
+                   || '</list_item>' || chr(10)
+                   || '<list_item>' || split_part(text, ' ', 3)
+                   || '</list_item>' || chr(10) || '</unordered_list>'
+                   || chr(10)
+                   || '<otsl><fcel>K<fcel>V<nl><fcel>k'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '<fcel>v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || '<nl></otsl>' || chr(10)
+                   || '<text>' || text || '</text>' || chr(10)
+                   || '</doctag>' AS doctags_nolocs
             FROM documents
         """,
         "structured_extract": """

@@ -331,10 +331,18 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
             res = extract_pdf_text(
                 bytes(blob),
                 deadline=deadline,
-                with_structure=with_structure,
+                with_structure=with_structure or with_doctags,
                 password=pdf_password,
+                with_span_doc=with_doctags,
             )
             spans = res.spans
+            doctags = None
+            if with_doctags and res.span_doc is not None:
+                from .serialize_doctags import to_doctags
+
+                # located DocTags from the deterministic layout path — the
+                # loc tokens quantize REAL page geometry (block bboxes)
+                doctags = to_doctags(res.span_doc)
             out.update(
                 status=res.status,
                 extracted_text=res.text,
@@ -342,6 +350,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 spans=spans,
                 n_items=len(spans) if spans else None,
                 n_chars=len(res.text) if res.text else None,
+                doctags=doctags,
             )
         elif content_type == "mets_gbs":
             from .metsx import extract_mets_gbs

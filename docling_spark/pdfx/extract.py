@@ -19,6 +19,7 @@ class PdfResult:
     pages: Optional[list] = None  # per-page cell counts
     spans: Optional[list] = None  # structured labeled spans (with_structure)
     page_texts: Optional[list] = None  # per-page text (with_page_texts)
+    span_doc = None  # SpanDoc (with_structure + with_span_doc)
 
 
 def extract_pdf_text(
@@ -29,6 +30,7 @@ def extract_pdf_text(
     page_range: "tuple[int, int]" = (1, 2**31 - 1),
     max_num_pages: Optional[int] = None,
     with_page_texts: bool = False,
+    with_span_doc: bool = False,
 ) -> PdfResult:
     """bytes → reading-ordered text. Never raises.
 
@@ -76,6 +78,7 @@ def extract_pdf_text(
         needs_ocr_pages = 0
         pages_meta = []
         pages_cells = []
+        pages_sizes = []
         timed_out = False
         for page_no, page in enumerate(all_pages, start=1):
             if not (start_page <= page_no <= end_page):
@@ -90,6 +93,8 @@ def extract_pdf_text(
                 continue
             if with_structure:
                 pages_cells.append(cells)
+                mb = page.mediabox()
+                pages_sizes.append((mb[2] - mb[0], mb[3] - mb[1]))
             page_texts.append(page_cells_to_text(cells))
         if timed_out:
             if not page_texts:
@@ -110,16 +115,26 @@ def extract_pdf_text(
             return PdfResult(status="needs_ocr", text="", pages=pages_meta)
         status = "partial_success" if needs_ocr_pages else "success"
         spans = None
+        span_doc = None
         if with_structure and pages_cells:
-            from .structure import doc_structured_spans
+            from .structure import (
+                blocks_to_spandoc,
+                blocks_to_spans,
+                doc_structured_blocks,
+            )
 
-            spans = doc_structured_spans(pages_cells)
-        return PdfResult(
+            blocks = doc_structured_blocks(pages_cells)
+            spans = blocks_to_spans(blocks)
+            if with_span_doc:
+                span_doc = blocks_to_spandoc(blocks, pages_sizes)
+        res = PdfResult(
             status=status,
             text="\n\n".join(page_texts),
             pages=pages_meta,
             spans=spans,
             page_texts=page_texts if with_page_texts else None,
         )
+        res.span_doc = span_doc
+        return res
     except Exception as e:  # noqa: BLE001
         return PdfResult(status="failure", error=f"{type(e).__name__}: {e}"[:500])

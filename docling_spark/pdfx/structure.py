@@ -37,6 +37,15 @@ _BULLET_RE = re.compile(r"^([•·◦▪‣–—-]|\*)\s+")
 _ENUM_RE = re.compile(r"^(\d{1,3}[.)])\s+")
 
 
+def _union_bbox(cells: list) -> tuple:
+    return (
+        min(c.l for c in cells),
+        min(c.t for c in cells),
+        max(c.r for c in cells),
+        max(c.b for c in cells),
+    )
+
+
 @dataclass
 class PdfBlock:
     label: str  # title/section_header/text/list_item/table
@@ -46,6 +55,8 @@ class PdfBlock:
     enumerated: bool = False
     size: float = 0.0
     grid: Optional[list[list[str]]] = None  # table rows (row-major)
+    bbox: Optional[tuple] = None  # (l, t, r, b) top-left origin
+    page_no: int = 1
 
 
 def _dominant_size(cells: list[Cell]) -> float:
@@ -75,6 +86,7 @@ def _split_list_lines(group: list[Cell]) -> Optional[list[PdfBlock]]:
                     sanitize_text([c.text[bm.end() :]]),
                     marker=bm.group(1),
                     size=c.height,
+                    bbox=_union_bbox([c]),
                 )
             )
         elif em:
@@ -85,10 +97,18 @@ def _split_list_lines(group: list[Cell]) -> Optional[list[PdfBlock]]:
                     marker=em.group(1),
                     enumerated=True,
                     size=c.height,
+                    bbox=_union_bbox([c]),
                 )
             )
         else:
-            blocks.append(PdfBlock("text", sanitize_text([c.text]), size=c.height))
+            blocks.append(
+                PdfBlock(
+                    "text",
+                    sanitize_text([c.text]),
+                    size=c.height,
+                    bbox=_union_bbox([c]),
+                )
+            )
     return blocks
 
 
@@ -151,6 +171,7 @@ def page_blocks(cells: list[Cell], body_size: float) -> list[PdfBlock]:
     positioned: list[tuple[float, PdfBlock]] = []
     for top, grid_rows in regions:
         flat = [c.text for row in grid_rows for c in row]
+        gcells = [c for row in grid_rows for c in row]
         positioned.append(
             (
                 top,
@@ -159,6 +180,7 @@ def page_blocks(cells: list[Cell], body_size: float) -> list[PdfBlock]:
                     sanitize_text(flat),
                     size=grid_rows[0][0].height,
                     grid=[[c.text for c in row] for row in grid_rows],
+                    bbox=_union_bbox(gcells),
                 ),
             )
         )
@@ -181,7 +203,15 @@ def _labeled_groups(
             and len(group) <= 2
             and len(text) <= 120
         ):
-            out.append((top, PdfBlock("section_header", text, size=med)))
+            out.append(
+                (
+                    top,
+                    PdfBlock(
+                        "section_header", text, size=med,
+                        bbox=_union_bbox(group),
+                    ),
+                )
+            )
             continue
         lst = _split_list_lines(group)
         if lst is not None:
@@ -189,7 +219,9 @@ def _labeled_groups(
                 # preserve intra-group order with a tiny top offset
                 out.append((top + off * 1e-3, b))
             continue
-        out.append((top, PdfBlock("text", text, size=med)))
+        out.append(
+            (top, PdfBlock("text", text, size=med, bbox=_union_bbox(group)))
+        )
     return out
 
 
@@ -245,12 +277,91 @@ def blocks_to_spans(blocks: list[PdfBlock]) -> list[dict]:
     return spans
 
 
-def doc_structured_spans(pages_cells: list[list[Cell]]) -> list[dict]:
-    """All pages' cells → one labeled, heading-parented span list."""
+def doc_structured_blocks(pages_cells: list[list[Cell]]) -> list[PdfBlock]:
+    """All pages' cells → labeled blocks with page numbers + heading levels."""
     all_cells = [c for page in pages_cells for c in page]
     body = _dominant_size(all_cells)
     blocks: list[PdfBlock] = []
-    for cells in pages_cells:
-        blocks.extend(page_blocks(cells, body))
+    for page_no, cells in enumerate(pages_cells, start=1):
+        pblocks = page_blocks(cells, body)
+        for b in pblocks:
+            b.page_no = page_no
+        blocks.extend(pblocks)
     assign_heading_levels(blocks)
-    return blocks_to_spans(blocks)
+    return blocks
+
+
+def doc_structured_spans(pages_cells: list[list[Cell]]) -> list[dict]:
+    """All pages' cells → one labeled, heading-parented span list."""
+    return blocks_to_spans(doc_structured_blocks(pages_cells))
+
+
+def blocks_to_spandoc(blocks: list[PdfBlock], page_sizes: list):
+    """Labeled blocks → a SpanDoc (the doctags/serializer-facing form of
+    the same structure blocks_to_spans flattens): headings parent as in
+    blocks_to_spans, consecutive list_item blocks wrap in a list group,
+    table grids become cell specs, and every item carries bbox provenance
+    so DocTags loc tokens are real geometry. ``page_sizes``: (w, h) per
+    page, 1-indexed order."""
+    from ..model import SpanDoc, TableCellSpec
+
+    doc = SpanDoc("pdf")
+    for no, (w, h) in enumerate(page_sizes, start=1):
+        doc.pages[no] = (float(w), float(h))
+    heading_stack: list[tuple[int, int]] = []  # (level, item idx)
+    list_group: Optional[int] = None
+
+    def prov(b: PdfBlock):
+        if b.bbox is None:
+            return None
+        l, t, r, bt = b.bbox
+        return [
+            {
+                "page_no": b.page_no,
+                "bbox": {
+                    "l": float(l),
+                    "t": float(t),
+                    "r": float(r),
+                    "b": float(bt),
+                    "coord_origin": "TOPLEFT",
+                },
+                "charspan": [0, len(b.text or "")],
+            }
+        ]
+
+    for b in blocks:
+        parent = heading_stack[-1][1] if heading_stack else None
+        if b.label != "list_item":
+            list_group = None
+        if b.label == "section_header":
+            while heading_stack and heading_stack[-1][0] >= b.level:
+                heading_stack.pop()
+            parent = heading_stack[-1][1] if heading_stack else None
+            it = doc.add_heading(b.text, level=b.level, parent=parent)
+            heading_stack.append((b.level, it.idx))
+        elif b.label == "list_item":
+            if list_group is None:
+                g = doc.add_list_group("list", parent, "body")
+                list_group = g.idx
+            it = doc.add_list_item(
+                b.text, enumerated=b.enumerated, marker=b.marker,
+                parent=list_group,
+            )
+        elif b.label == "table" and b.grid:
+            nrows, ncols = len(b.grid), max(len(r) for r in b.grid)
+            it = doc.add_table(nrows, ncols, parent=parent)
+            for r, row in enumerate(b.grid):
+                for c, txt in enumerate(row):
+                    it.cells.append(
+                        TableCellSpec(
+                            text=txt,
+                            start_row=r,
+                            end_row=r + 1,
+                            start_col=c,
+                            end_col=c + 1,
+                        )
+                    )
+        else:
+            it = doc.add_text("text", b.text, parent=parent)
+        it.prov_list = prov(b)
+    return doc
