@@ -501,6 +501,21 @@ def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_meta(mm.synth_media(spark, sf_dir))
 
 
+def q_mm_sniff_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only REAL metadata across raster formats (PNG IHDR, JPEG SOF
+    walk, GIF descriptor, BMP info header): one row per (doc, format)."""
+    from docling_spark.ops import multimodal as mm
+
+    media = mm.synth_media(spark, sf_dir)
+    parts = [
+        mm.sniff_image_meta(media, col) for col in ("png", "jpeg", "gif", "bmp")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RIFF/WAVE decode (ops/multimodal.parse_wav): rate/sample/
     duration recovered from genuine PCM16 containers, not the FAUD fake."""
@@ -742,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_sample": q_mm_frame_sample,
         "mm_audio_meta": q_mm_audio_meta,
         "mm_wav_meta": q_mm_wav_meta,
+        "mm_sniff_meta": q_mm_sniff_meta,
         "curate": q_curate,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_latest": q_dedup_latest,
@@ -1308,6 +1324,15 @@ def oracle_sql() -> dict[str, str]:
                    round((1000 + (doc_id % 97) * 100) * 1000.0
                          / (8000 + (doc_id % 3) * 4000), 4) AS duration_ms
             FROM documents
+        """,
+        "mm_sniff_meta": """
+            SELECT d.doc_id, f.fmt AS format,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS height,
+                   CAST(CASE WHEN f.fmt = 'png' THEN 1 ELSE 3 END AS INTEGER)
+                       AS channels
+            FROM documents d,
+                 (SELECT unnest(['png', 'jpeg', 'gif', 'bmp']) AS fmt) f
         """,
         "mm_wav_meta": """
             SELECT doc_id,

@@ -79,6 +79,32 @@ def make_audio(doc_id: int) -> bytes:
     return b"FAUD" + struct.pack(">ii", rate, nsamples) + bytes([doc_id % 256]) * nsamples
 
 
+def make_jpeg_header(doc_id: int) -> bytes:
+    """Minimal REAL JPEG container (SOI + JFIF APP0 + SOF0 + EOI): the
+    frame header carries genuine dimensions/components, which is exactly
+    what header-level metadata extraction reads. No entropy-coded scan —
+    pixel decode stays behind the codec seam."""
+    w, h, _c, _v = _img_params(doc_id)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def make_gif_header(doc_id: int) -> bytes:
+    w, h, _c, _v = _img_params(doc_id)
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00\x3b"
+
+
+def make_bmp_header(doc_id: int) -> bytes:
+    w, h, _c, _v = _img_params(doc_id)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
+
+
 def make_wav(doc_id: int) -> bytes:
     """REAL RIFF/WAVE container (PCM16 mono): canonical 44-byte header +
     deterministic ramp samples — no codec library involved, WAV headers are
@@ -156,6 +182,9 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "video": [make_video(i) for i in ids],
                     "audio": [make_audio(i) for i in ids],
                     "wav": [make_wav(i) for i in ids],
+                    "jpeg": [make_jpeg_header(i) for i in ids],
+                    "gif": [make_gif_header(i) for i in ids],
+                    "bmp": [make_bmp_header(i) for i in ids],
                 }
             )
 
@@ -163,7 +192,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         schema=(
             "doc_id long, image binary, png binary, video binary, "
-            "audio binary, wav binary"
+            "audio binary, wav binary, jpeg binary, gif binary, bmp binary"
         ),
     )
 
@@ -316,4 +345,30 @@ def audio_meta(media: DataFrame, col: str = "audio") -> DataFrame:
 
     return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, rate int, n_samples int, duration_ms double"
+    )
+
+
+def sniff_image_meta(media: DataFrame, col: str) -> DataFrame:
+    """Header-only metadata for real raster containers (ops/png.image_meta:
+    PNG IHDR, JPEG SOF marker walk, GIF screen descriptor, BMP info
+    header) → (doc_id, format, width, height, channels)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .png import image_meta
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                try:
+                    fmt, w, h, c = image_meta(bytes(blob))
+                    rows.append((int(doc_id), fmt, w, h, c))
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "width", "height", "channels"]
+            )
+
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema="doc_id long, format string, width int, height int, channels int",
     )

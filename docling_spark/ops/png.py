@@ -188,3 +188,50 @@ def encode_png(
         + _chunk(b"IDAT", zlib.compress(bytes(lines)))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------- header-only metadata sniff
+def image_meta(blob: bytes):
+    """(format, width, height, channels) from container headers alone —
+    REAL metadata for the major raster formats without a pixel codec:
+
+    - PNG: IHDR (full pixel decode also available, :func:`decode_png`)
+    - JPEG: marker walk to the first SOF0..SOF15 frame header
+    - GIF87a/89a: logical screen descriptor
+    - BMP: BITMAPINFOHEADER
+
+    Raises ValueError for anything else."""
+    if is_png(blob):
+        w, h, depth, ctype = struct.unpack(">IIBB", blob[16:26])
+        return ("png", w, h, _CHANNELS.get(ctype, 1) if ctype != 3 else 3)
+    if blob[:3] == b"\xff\xd8\xff":
+        pos = 2
+        n = len(blob)
+        while pos + 4 <= n:
+            if blob[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = blob[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+            # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                _prec, h, w, ncomp = struct.unpack(
+                    ">BHHB", blob[pos + 4 : pos + 10]
+                )
+                return ("jpeg", w, h, ncomp)
+            pos += 2 + seglen
+        raise ValueError("no SOF marker in JPEG stream")
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", blob[6:10])
+        return ("gif", w, h, 3)  # palette expands to RGB
+    if blob[:2] == b"BM":
+        (hdr_size,) = struct.unpack("<I", blob[14:18])
+        if hdr_size >= 40:  # BITMAPINFOHEADER and later
+            w, h = struct.unpack("<ii", blob[18:26])
+            (bpp,) = struct.unpack("<H", blob[28:30])
+            return ("bmp", abs(w), abs(h), max(1, bpp // 8))
+        raise ValueError("unsupported BMP header")
+    raise ValueError("unknown image container")

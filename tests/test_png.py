@@ -129,3 +129,30 @@ def test_decode_real_seam_png_vs_other():
     assert c == 1 and len(payload) == w * h
     with pytest.raises(NotImplementedError):
         _decode_real(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_image_meta_jpeg_marker_walk():
+    """JPEG dimension extraction survives padding bytes and restart
+    markers before SOF, and progressive (SOF2) frames."""
+    import struct as st
+
+    from docling_spark.ops.png import image_meta
+
+    sof2 = b"\xff\xc2" + st.pack(">HBHHB", 11, 8, 99, 77, 1) + b"\x01\x11\x00"
+    jpg = (
+        b"\xff\xd8"
+        + b"\xff\xfe" + st.pack(">H", 9) + b"comment"  # COM segment
+        + b"\xff\xff"  # fill byte noise
+        + sof2
+        + b"\xff\xd9"
+    )
+    assert image_meta(jpg) == ("jpeg", 77, 99, 1)
+
+
+def test_image_meta_rejects_unknown():
+    from docling_spark.ops.png import image_meta
+
+    with pytest.raises(ValueError):
+        image_meta(b"FIMG fake format")
+    with pytest.raises(ValueError):
+        image_meta(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
