@@ -212,6 +212,11 @@ def image_meta(blob: bytes):
                 pos += 1
                 continue
             marker = blob[pos + 1]
+            if marker == 0xFF:  # fill byte run before a marker
+                pos += 1
+                continue
+            if marker == 0xD9:  # EOI — no SOF seen
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 pos += 2
                 continue
