@@ -355,7 +355,12 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
         elif content_type == "mets_gbs":
             from .metsx import extract_mets_gbs
 
-            res = extract_mets_gbs(bytes(blob))
+            res = extract_mets_gbs(bytes(blob), with_span_doc=with_doctags)
+            doctags = None
+            if with_doctags and res.span_doc is not None:
+                from .serialize_doctags import to_doctags
+
+                doctags = to_doctags(res.span_doc)
             out.update(
                 status=res.status,
                 extracted_text=res.text or None,
@@ -363,6 +368,7 @@ def _extract_one(url: str, blob: Optional[bytes], content_type: str,
                 spans=res.spans,
                 n_items=len(res.spans) if res.spans else None,
                 n_chars=len(res.text) if res.text else None,
+                doctags=doctags,
             )
         elif content_type == "audio":
             # reference routes audio through NoOpBackend to the ASR

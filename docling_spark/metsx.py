@@ -54,14 +54,22 @@ class MetsGbsResult:
         self.spans = spans
         self.error = error
         self.n_pages = n_pages
+        self.span_doc = None
 
 
-def extract_mets_gbs(raw: bytes) -> MetsGbsResult:
-    """tar.gz bytes → reading-ordered text + structured spans. Never raises."""
+def extract_mets_gbs(raw: bytes, with_span_doc: bool = False) -> MetsGbsResult:
+    """tar.gz bytes → reading-ordered text + structured spans. Never raises.
+    ``with_span_doc`` additionally builds the SpanDoc form (located DocTags
+    path); hOCR pages carry no page-size declaration our parser reads, so
+    page dims are the per-page cell extents."""
     import xml.etree.ElementTree as ET
 
     from .pdfx.layout import Cell, page_cells_to_text
-    from .pdfx.structure import doc_structured_spans
+    from .pdfx.structure import (
+        blocks_to_spandoc,
+        blocks_to_spans,
+        doc_structured_blocks,
+    )
 
     try:
         tar = tarfile.open(fileobj=BytesIO(raw), mode="r:gz")
@@ -145,14 +153,22 @@ def extract_mets_gbs(raw: bytes) -> MetsGbsResult:
                 "needs_ocr", n_pages=len(page_ocr),
                 error="no OCR lines in any page",
             )
-        spans = doc_structured_spans(pages_cells)
+        blocks = doc_structured_blocks(pages_cells)
+        spans = blocks_to_spans(blocks)
         status = "partial_success" if n_empty else "success"
-        return MetsGbsResult(
+        res = MetsGbsResult(
             status,
             text="\n\n".join(page_texts),
             spans=spans,
             n_pages=len(page_ocr),
         )
+        if with_span_doc:
+            sizes = [
+                (max(c.r for c in cells), max(c.b for c in cells))
+                for cells in pages_cells
+            ]
+            res.span_doc = blocks_to_spandoc(blocks, sizes)
+        return res
     except Exception as e:  # noqa: BLE001 — containment by design
         return MetsGbsResult("failure", error=f"{type(e).__name__}: {e}"[:500])
     finally:

@@ -63,3 +63,24 @@ def test_mets_spark_dispatch():
     assert out["https://t/book"].status == "success"
     assert "PACIFIC" in out["https://t/book"].extracted_text
     assert out["https://t/stray.gz"].status == "skipped"
+
+
+def test_mets_doctags_located():
+    """The Google Books fixture produces located DocTags through the same
+    structural-blocks bridge the PDF path uses."""
+    import re
+    from pathlib import Path
+
+    from docling_spark.metsx import extract_mets_gbs
+    from docling_spark.serialize_doctags import to_doctags
+
+    fixture = next(
+        Path("/root/reference/tests/data/mets_gbs").glob("*.tar.gz")
+    )
+    res = extract_mets_gbs(fixture.read_bytes(), with_span_doc=True)
+    assert res.span_doc is not None
+    dt = to_doctags(res.span_doc)
+    assert dt.startswith("<doctag>")
+    assert re.search(r"<loc_\d+>", dt)
+    # multi-page fixture → page breaks present
+    assert "<page_break>" in dt
