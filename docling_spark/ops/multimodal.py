@@ -7,9 +7,12 @@ pure stdlib can genuinely decode:
 - **real**: PNG (ops/png.py — zlib + filter reconstruction) and RIFF/WAVE
   audio containers (`parse_wav`); the image/audio ops sniff these and run
   on decoded bytes;
-- **fake**: JPEG/video/compressed-audio remain the deterministic
-  ``FIMG``/``FVID``/``FAUD`` formats below — swapping a real codec
-  (PIL/ffmpeg) in is a one-function change at the marked seam
+- **header-real**: JPEG (SOF marker walk), GIF and BMP dimensions/
+  components come from genuine container headers (ops/png.image_meta);
+  only their PIXEL decode stays out;
+- **fake**: video/compressed-audio pixel+sample payloads remain the
+  deterministic ``FIMG``/``FVID``/``FAUD`` formats below — swapping a
+  real codec (PIL/ffmpeg) in is a one-function change at the marked seam
   (`_decode_real`).
 
 Every op's output is independently derivable from ``doc_id`` alone, so the
