@@ -121,6 +121,11 @@ class _Parser:
                 pass  # text before first token: only locs, already consumed
             tokens.append((m.group(1), ""))
             pos = m.end()
+        if tokens and body[pos:]:
+            # foreign DocTags may omit the final <nl>: text after the last
+            # cell token is that cell's content (our serializer always emits
+            # <nl>, so round-trips never hit this branch)
+            tokens[-1] = (tokens[-1][0], body[pos:])
         # build the grid row-major
         grid: List[List[Optional[dict]]] = [[]]
         caption_at = None

@@ -8,8 +8,9 @@ whole tree of one document lives inside ONE row's spans array — so heading
 ancestry is resolved per row with higher-order functions (a map built from
 the array + a bounded ``aggregate`` ancestor walk), not with self-joins.
 The walk matches the reference chunker's unbounded ancestry traversal for
-any tree up to ``_MAX_ANCESTRY`` deep (64 — far beyond any real document;
-a deeper chain would simply yield heading=NULL, never a wrong heading).
+any tree up to ``_MAX_ANCESTRY`` deep (16 — deepest real span trees are
+~10 levels; a deeper chain would simply yield heading=NULL, never a wrong
+heading).
 
 Scale notes: one explode, ZERO joins, ZERO added shuffles — the round-1
 shape (explode + two (url, idx) equi-joins) recomputed the upstream

@@ -108,7 +108,14 @@ def decode_png(blob: bytes) -> Tuple[int, int, int, bytes]:
         if plte is None:
             raise ValueError("indexed PNG without PLTE")
         rgb = bytearray(width * height * 3)
+        n_pal = len(plte) // 3
         for i, idx in enumerate(out):
+            # an out-of-range index would slice short and SHRINK the
+            # destination range — reject malformed input instead
+            if idx >= n_pal:
+                raise ValueError(
+                    f"palette index {idx} out of range (palette has {n_pal})"
+                )
             rgb[3 * i : 3 * i + 3] = plte[3 * idx : 3 * idx + 3]
         return width, height, 3, bytes(rgb)
     return width, height, ch, bytes(out)

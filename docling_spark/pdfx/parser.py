@@ -566,7 +566,8 @@ class PdfDocument:
         if isinstance(obj, Name):
             return obj
         if isinstance(obj, bytes):
-            return self._crypt.decrypt(obj, num, gen)
+            # is_string routes through /StrF (may differ from /StmF)
+            return self._crypt.decrypt(obj, num, gen, is_string=True)
         if isinstance(obj, dict):
             return {k: self._decrypt_strings(v, num, gen) for k, v in obj.items()}
         if isinstance(obj, list):

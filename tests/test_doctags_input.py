@@ -78,3 +78,13 @@ def test_markdown_from_doctags():
     from docling_spark.serialize import to_markdown
 
     assert to_markdown(parse_doctags(dt)) == "# Head\n\nbody\n\n- a"
+
+
+def test_otsl_missing_final_nl_keeps_last_cell_text():
+    """Foreign DocTags whose last table row lacks <nl> must not drop the
+    final cell's text (ADVICE doctagsx.py:119)."""
+    dt = "<doctag><otsl><fcel>a<fcel>b<nl><fcel>c<fcel>LAST</otsl>\n</doctag>"
+    doc = parse_doctags(dt)
+    tbl = next(it for it in doc.items if it.kind == "table")
+    texts = {c.text for c in tbl.cells}
+    assert "LAST" in texts and {"a", "b", "c"} <= texts

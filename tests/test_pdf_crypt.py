@@ -143,3 +143,58 @@ def test_r6_user_and_owner_auth_recover_file_key():
     assert h2.key == file_key
     with pytest.raises(PdfPasswordError):
         make_handler(enc, b"", "wrong")
+
+
+# ----------------------------- round-4 fixes (ADVICE items + verdict #8)
+def test_r6_non_ascii_password_utf8():
+    """AES-256 passwords hash as UTF-8 (SASLprep), not latin-1 — a
+    'pässword' set by a conforming writer must authenticate (ADVICE
+    crypt.py:287)."""
+    file_key = hashlib.sha256(b"k2").digest()
+    enc = _build_r6_dict("pässwörd".encode("utf-8"), file_key)
+    h = make_handler(enc, b"", "pässwörd")
+    assert h.key == file_key
+
+
+def test_saslprep_maps_nonascii_space_and_nfkc():
+    from docling_spark.pdfx.crypt import _saslprep
+
+    assert _saslprep("a b") == "a b"  # NBSP maps to SPACE
+    assert _saslprep("Ⅸ") == "IX"  # NFKC compatibility (roman numeral)
+    with pytest.raises(PdfPasswordError):
+        _saslprep("ab")  # prohibited control char
+
+
+def test_strf_identity_differs_from_stmf():
+    """/StrF resolved separately from /StmF: StrF=Identity leaves strings
+    as-is while streams still AES-decrypt (ADVICE crypt.py:303)."""
+    file_key = hashlib.sha256(b"k3").digest()
+    enc = _build_r6_dict(b"pw", file_key)
+    enc["StrF"] = "Identity"
+    h = make_handler(enc, b"", "pw")
+    plain = b"literal string content"
+    assert h.decrypt(plain, 7, is_string=True) == plain
+    # stream path still decrypts: round-trip through AES-CBC
+    iv = b"\x01" * 16
+    padded = plain + bytes([16 - len(plain) % 16] * (16 - len(plain) % 16))
+    ct = iv + _aes_encrypt_cbc_nopad(file_key, iv, padded)
+    assert h.decrypt(ct, 7) == plain
+
+
+def test_py_aes_fallback_warns_once(monkeypatch, caplog):
+    """The pure-Python AES path must announce itself (verdict 'wrong' #4)."""
+    import logging
+    import sys
+
+    from docling_spark.pdfx import crypt as crypt_mod
+
+    monkeypatch.setattr(crypt_mod, "_warned_py_aes", False)
+    monkeypatch.setitem(
+        sys.modules, "cryptography.hazmat.primitives.ciphers", None
+    )
+    key, iv = b"\x11" * 16, b"\x22" * 16
+    with caplog.at_level(logging.WARNING, logger="docling_spark.pdfx.crypt"):
+        _aes_decrypt_cbc(key, iv, b"\x00" * 16)
+        _aes_decrypt_cbc(key, iv, b"\x00" * 16)
+    warns = [r for r in caplog.records if "pure-Python AES" in r.message]
+    assert len(warns) == 1  # once per worker, not per call

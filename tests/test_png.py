@@ -156,3 +156,30 @@ def test_image_meta_rejects_unknown():
         image_meta(b"FIMG fake format")
     with pytest.raises(ValueError):
         image_meta(b"\xff\xd8\xff\xd9")  # JPEG with no SOF
+
+
+def test_palette_index_out_of_range_raises():
+    """Out-of-range palette index must error, not shrink the payload
+    (ADVICE png.py:112)."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])  # only 2 entries
+    rows = b"\x00" + bytes([0, 5])  # index 5 > palette size
+    blob = (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(blob)
