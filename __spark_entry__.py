@@ -155,15 +155,31 @@ def q_pdf_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mixed_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML ∪ PDF corpus → content sniffing → per-branch counts."""
-    from docling_spark.ops.corpus import synth_pages_pdf
+    """HTML ∪ PDF ∪ extensionless-CSV corpus → content sniffing →
+    per-branch counts. The CSV rows carry NO url extension, so the csv
+    count proves the content-level sniff (job._csv_sniff)."""
+    from docling_spark.ops.corpus import synth_pages_csv, synth_pages_pdf
 
-    pages = synth_pages(spark, sf_dir).unionByName(synth_pages_pdf(spark, sf_dir))
+    pages = (
+        synth_pages(spark, sf_dir)
+        .unionByName(synth_pages_pdf(spark, sf_dir))
+        .unionByName(synth_pages_csv(spark, sf_dir))
+    )
     return (
         with_content_type(pages)
         .groupBy("content_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def q_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extensionless CSV through the FULL job: content-sniffed to the csv
+    backend (csvx.py — Sniffer dialect, first row = header), exported as a
+    github table."""
+    from docling_spark.ops.corpus import synth_pages_csv
+
+    out = extract_pages(synth_pages_csv(spark, sf_dir), base_uri_mode="none")
+    return out.select("url", "status", "content_type", "extracted_text")
 
 
 def q_spans_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -719,7 +735,13 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordered most-load-bearing-first: the driver records the FIRST 50
+    entries in CORRECTNESS_r{N}.json. Everything after the `tail` marker is
+    value-REDUNDANT with an earlier entry (noted inline) — those rows keep
+    their oracles for local runs (tools/correctness_check.py covers all)
+    but losing their driver row loses no unique signal."""
     return {
+        # -- extraction core + dispatch ---------------------------------
         "extract_pipeline": q_extract_pipeline,
         "pdf_extract": q_pdf_extract,
         "pdf_encrypted": q_pdf_encrypted,
@@ -727,7 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
-        "doc_hash": q_doc_hash,
+        "csv_extract": q_csv_extract,
         "size_limits": q_size_limits,
         "spans_export": q_spans_export,
         "span_offsets": q_span_offsets,
@@ -739,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_spans": q_pdf_spans,
         "pdf_struct_spans": q_pdf_struct_spans,
         "pdf_chunks": q_pdf_chunks,
+        # -- conversion backends ----------------------------------------
         "md_extract": q_md_extract,
         "ofd_extract": q_ofd_extract,
         "doctags_extract": q_doctags_extract,
@@ -746,26 +769,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docx_extract": q_docx_extract,
         "xlsx_extract": q_xlsx_extract,
         "uspto_extract": q_uspto_extract,
-        "chunk_pack": q_chunk_pack,
+        # -- chunking / curation / training-data ops --------------------
         "chunk_pack_bpe": q_chunk_pack_bpe,
-        "mm_image_meta": q_mm_image_meta,
-        "mm_image_features": q_mm_image_features,
-        "mm_resize": q_mm_resize,
-        "mm_png_meta": q_mm_png_meta,
-        "mm_png_features": q_mm_png_features,
-        "mm_png_resize": q_mm_png_resize,
-        "mm_frame_sample": q_mm_frame_sample,
-        "mm_audio_meta": q_mm_audio_meta,
-        "mm_wav_meta": q_mm_wav_meta,
-        "mm_sniff_meta": q_mm_sniff_meta,
         "curate": q_curate,
         "ivf_kmeans_search": q_ivf_kmeans_search,
-        "dedup_latest": q_dedup_latest,
         "dedup_exact": q_dedup_exact,
-        "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "ngram_jaccard": q_ngram_jaccard,
-        "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
@@ -773,15 +783,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "embedding_dups_exact": q_embedding_dups_exact,
-        "ivf_assign": q_ivf_assign,
         "ivf_search": q_ivf_search,
         "embedding_dups_lsh": q_embedding_dups_lsh,
-        "events_hourly": q_events_hourly,
+        # -- relational checklist ---------------------------------------
         "metrics_rollup": q_metrics_rollup,
         "resume_antijoin": q_resume_antijoin,
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
-        "salted_agg": q_salted_agg,
+        # -- multimodal (real codecs) -----------------------------------
+        "mm_png_meta": q_mm_png_meta,
+        "mm_png_features": q_mm_png_features,
+        "mm_png_resize": q_mm_png_resize,
+        "mm_sniff_meta": q_mm_sniff_meta,
+        "mm_wav_meta": q_mm_wav_meta,
+        # -- tail: value-redundant with an earlier entry ----------------
+        "chunk_pack": q_chunk_pack,  # same pack path as chunk_pack_bpe
+        "simhash": q_simhash,  # signature step of simhash_pairs
+        "minhash_signatures": q_minhash_signatures,  # step of lsh_dup_pairs
+        "ivf_assign": q_ivf_assign,  # assignment step of ivf_search
+        "doc_hash": q_doc_hash,  # sha256 also in fingerprint + extract
+        "dedup_latest": q_dedup_latest,  # same window op as job dedup
+        "events_hourly": q_events_hourly,  # plain agg, cf. metrics_rollup
+        "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
+        "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
+        "mm_image_features": q_mm_image_features,  # twin of mm_png_features
+        "mm_resize": q_mm_resize,  # fake-codec twin of mm_png_resize
+        "mm_audio_meta": q_mm_audio_meta,  # fake-codec twin of mm_wav_meta
+        "mm_frame_sample": q_mm_frame_sample,  # fake video codec (seam)
     }
 
 
@@ -958,6 +986,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'html' AS content_type, count(*) AS n FROM documents
             UNION ALL
             SELECT 'pdf' AS content_type, count(*) AS n FROM documents
+            UNION ALL
+            SELECT 'csv' AS content_type, count(*) AS n FROM documents
+        """,
+        "csv_extract": """
+            SELECT 'https://synth.test/data/' || doc_id AS url,
+                   'success' AS status, 'csv' AS content_type,
+                   '| K   | V   |' || chr(10) || '|-----|-----|' || chr(10)
+                   || '| k' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' | v' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                   || ' |' AS extracted_text
+            FROM documents
         """,
         "format_dispatch": f"""
             SELECT {synth_url} AS url, 'html' AS content_type FROM documents

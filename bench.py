@@ -29,6 +29,7 @@ HEADLINE = [
     "extract_pipeline",
     "pdf_extract",
     "chunk_spans",
+    "chunk_spans_frozen",
     "dedup_exact",
     "lsh_dup_pairs",
     "simhash",
@@ -76,14 +77,14 @@ def main() -> None:
     # swings ~2x between minutes (steal time), and the min of adjacent runs
     # is the stable estimator of the plan's steady-state cost; all passes
     # are recorded in `queries_runs` so the spread stays visible
-    # chunk_spans: bench over the shallow corpus only. The queries() entry
-    # unions a deep-nesting corpus for correctness coverage (2x the docs),
-    # which would break round-over-round comparability of this timing; the
-    # chunker plan under test is identical either way.
+    # chunk_spans_frozen: the round-1-shaped workload (shallow corpus only),
+    # frozen across rounds so the chunker timing stays comparable
+    # round-over-round. "chunk_spans" stays the real queries() entry (which
+    # unions a deep-nesting corpus for correctness coverage, 2x the docs).
     from docling_spark.ops.chunker import chunk_spans as _chunk_spans
 
     qs = dict(qs)
-    qs["chunk_spans"] = lambda sp, sf: _chunk_spans(
+    qs["chunk_spans_frozen"] = lambda sp, sf: _chunk_spans(
         extract_pages(synth_pages(sp, sf), base_uri_mode="none")
     )
 

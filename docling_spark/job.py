@@ -46,16 +46,43 @@ _HTML_SNIFF_RE = (
 )
 
 
-def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
+def with_content_type(
+    df: DataFrame, prefix_bytes: int = 8192, zip_probe_bytes: int = 65536
+) -> DataFrame:
     """Add the dispatch column. Pure JVM expressions — no Python.
 
     Order mirrors the reference _guess_format (document.py:488-554):
     content magic (mime) first, then url extension, then content sniffing.
+
+    Every content probe runs on a BOUNDED window, never the full blob
+    (the reference sniffs only the first 8 KB — document.py:513,527):
+    XML-marker probes use the ``prefix_bytes`` head; zip-member probes use
+    a ``zip_probe_bytes`` head plus the same-sized tail (a zip's central
+    directory — which names every member — sits at EOF, and the first
+    local-file headers sit at offset 0). At 100 TB this removes up to
+    ~10 full scans of a 64 MB blob per fall-through row, and a marker
+    buried at byte 50 M can no longer flip the format.
     """
     # lenient cast (invalid UTF-8 → replacement chars): a crawl blob with
     # arbitrary binary bytes must never crash the dispatch expression
     # (F.decode raises MALFORMED_CHARACTER_CODING on such input)
-    head = F.substring(F.col("html"), 1, prefix_bytes).cast("string")
+    head_bin = F.substring(F.col("html"), 1, prefix_bytes)
+    head = head_bin.cast("string")
+    zip_head = F.substring(F.col("html"), 1, zip_probe_bytes)
+    # bounded tail window (1-based start, clamped to the blob start)
+    zip_tail = F.substring(
+        F.col("html"),
+        F.greatest(
+            F.length(F.col("html")) - F.lit(zip_probe_bytes - 1), F.lit(1)
+        ),
+        F.lit(zip_probe_bytes),
+    )
+
+    def zip_member(name: bytes):
+        return F.contains(zip_head, F.lit(name)) | F.contains(
+            zip_tail, F.lit(name)
+        )
+
     ext = F.lower(
         F.regexp_extract(F.col("url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1)
     )
@@ -70,28 +97,26 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(ext.isin("md", "markdown"), "md")
         .when(ext.isin("adoc", "asciidoc", "asc"), "asciidoc")
         .when(
-            F.contains(F.col("html"), F.lit(b"JATS-journalpublishing"))
-            | F.contains(F.col("html"), F.lit(b"JATS-archive")),
+            F.contains(head_bin, F.lit(b"JATS-journalpublishing"))
+            | F.contains(head_bin, F.lit(b"JATS-archive")),
             "jats",
         )
         .when(
             (F.substring(F.col("html"), 1, 4) == F.lit(b"PATN"))
-            | F.contains(F.col("html"), F.lit(b"us-patent-application-v4"))
-            | F.contains(F.col("html"), F.lit(b"us-patent-grant-v4"))
-            | F.contains(F.col("html"), F.lit(b"us-grant-025"))
-            | F.contains(F.col("html"), F.lit(b"US-Grant-025"))
+            | F.contains(head_bin, F.lit(b"us-patent-application-v4"))
+            | F.contains(head_bin, F.lit(b"us-patent-grant-v4"))
+            | F.contains(head_bin, F.lit(b"us-grant-025"))
+            | F.contains(head_bin, F.lit(b"US-Grant-025"))
             | (
-                F.contains(
-                    F.col("html"), F.lit(b"patent-application-publication")
-                )
-                & F.contains(F.col("html"), F.lit(b"pap-v1"))
+                F.contains(head_bin, F.lit(b"patent-application-publication"))
+                & F.contains(head_bin, F.lit(b"pap-v1"))
             ),
             "uspto",
         )
         .when(ext == "ofd", "ofd")
         .when(
             (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
-            & F.contains(F.col("html"), F.lit(b"OFD.xml")),
+            & zip_member(b"OFD.xml"),
             "ofd",
         )
         .when(ext == "docx", "docx")
@@ -99,17 +124,17 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         .when(ext.isin("pptx", "pptm", "potx"), "pptx")
         .when(
             (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
-            & F.contains(F.col("html"), F.lit(b"word/document.xml")),
+            & zip_member(b"word/document.xml"),
             "docx",
         )
         .when(
             (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
-            & F.contains(F.col("html"), F.lit(b"xl/workbook.xml")),
+            & zip_member(b"xl/workbook.xml"),
             "xlsx",
         )
         .when(
             (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
-            & F.contains(F.col("html"), F.lit(b"ppt/presentation.xml")),
+            & zip_member(b"ppt/presentation.xml"),
             "pptx",
         )
         # gzip magic → mets_gbs candidate (the branch inspects the tar and
@@ -148,7 +173,46 @@ def with_content_type(df: DataFrame, prefix_bytes: int = 8192) -> DataFrame:
         )
         .when(head.rlike(r"(?s)^\s*<doctag>"), "doctags")
         .when(head.rlike(_HTML_SNIFF_RE), "html")
+        .when(_csv_sniff(head, prefix_bytes), "csv")
         .otherwise("other"),
+    )
+
+
+def _csv_sniff(head, prefix_bytes: int):
+    """Content-level CSV detection on the bounded head window — the JVM
+    analog of the reference's _detect_csv (csv.Sniffer over the first 8 KB,
+    document.py:659-686): an extensionless blob is CSV when one of the
+    common delimiters {, ; TAB |} appears a CONSISTENT number of times
+    (>=1) on each of the first complete lines (>=2 lines required). Runs
+    after the HTML sniff, before the text/plain fallthrough, matching the
+    reference's detection order (document.py:540-542)."""
+    lines_all = F.split(head, r"\r\n|\r|\n")
+    # the head window may have truncated the blob mid-line: drop the final
+    # (possibly partial) line in that case so counts are never skewed
+    n_complete = F.when(
+        F.length(F.col("html")) > prefix_bytes, F.size(lines_all) - 1
+    ).otherwise(F.size(lines_all))
+    nonempty = F.filter(
+        F.slice(lines_all, F.lit(1), n_complete),
+        lambda l: F.length(l) > 0,
+    )
+    sample = F.slice(nonempty, 1, 5)
+
+    def consistent(delim_regex: str):
+        counts = F.transform(
+            sample, lambda l: F.size(F.split(l, delim_regex, -1)) - 1
+        )
+        return (
+            (F.size(sample) >= 2)
+            & (F.size(F.array_distinct(counts)) == 1)
+            & (F.element_at(counts, 1) >= 1)
+        )
+
+    return (
+        consistent(",")
+        | consistent(";")
+        | consistent("\t")
+        | consistent(r"\|")
     )
 
 

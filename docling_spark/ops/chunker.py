@@ -5,12 +5,10 @@ Reference parity: docling re-exports HierarchicalChunker/HybridChunker
 DoclingDocument tree and emit one chunk per body text item with its heading
 context. Our span model is the flattened (idx, parent) encoding and the
 whole tree of one document lives inside ONE row's spans array — so heading
-ancestry is resolved per row with higher-order functions (a map built from
-the array + a bounded ``aggregate`` ancestor walk), not with self-joins.
-The walk matches the reference chunker's unbounded ancestry traversal for
-any tree up to ``_MAX_ANCESTRY`` deep (16 — deepest real span trees are
-~10 levels; a deeper chain would simply yield heading=NULL, never a wrong
-heading).
+ancestry is resolved per row with higher-order functions (a single
+``aggregate`` fold that propagates the nearest heading down the tree in
+construction order), not with self-joins. The fold matches the reference
+chunker's unbounded ancestry traversal at ANY depth.
 
 Scale notes: one explode, ZERO joins, ZERO added shuffles — the round-1
 shape (explode + two (url, idx) equi-joins) recomputed the upstream
@@ -26,26 +24,42 @@ from pyspark.sql import functions as F
 
 _HEADINGS = ("title", "section_header")
 _CHUNK_LABELS = ("text", "list_item", "code", "formula")
-_MAX_ANCESTRY = 16  # walk bound; deepest real span trees are ~10 levels
 
 
 def chunk_spans(extracted: DataFrame) -> DataFrame:
     """extracted (url, spans) → one row per chunk:
-    (url, span_idx, heading, chunk_text)."""
+    (url, span_idx, heading, chunk_text).
 
-    # idx → (parent, label, text) lookup map, built once per document row
-    node_map = F.map_from_entries(
-        F.transform(
-            "spans",
-            lambda s: F.struct(
-                s.idx.alias("key"),
-                F.struct(
-                    s.parent.alias("parent"),
-                    s.label.alias("label"),
-                    s.text.alias("text"),
-                ).alias("value"),
+    Heading ancestry in ONE forward pass per document: the span model
+    appends items in construction order, so a parent idx always precedes
+    its children — folding the array once builds idx → nearest heading
+    ancestor-or-self for EVERY node (heading item → its own text, other
+    item → its parent's entry). Per-chunk heading is then a single map
+    lookup. Versus the round-3 shape (a 16-step bounded parent walk per
+    chunk row) this is O(|spans|) instead of O(chunks x depth) per doc,
+    and the ancestry depth is genuinely UNBOUNDED — a 100-deep chain
+    resolves exactly (the old ``_MAX_ANCESTRY`` cap is gone)."""
+
+    # idx → nearest heading ancestor-or-self, one fold over the array.
+    # A forward reference (parent idx after child — impossible in the span
+    # model) would miss the lookup and yield heading=NULL, never a wrong
+    # heading.
+    hmap = F.aggregate(
+        "spans",
+        F.map_from_arrays(
+            F.array().cast("array<int>"), F.array().cast("array<string>")
+        ),
+        lambda acc, s: F.map_concat(
+            acc,
+            F.map_from_arrays(
+                F.array(s.idx),
+                F.array(
+                    F.when(s.label.isin(*_HEADINGS), s.text).otherwise(
+                        F.try_element_at(acc, s.parent)
+                    )
+                ),
             ),
-        )
+        ),
     )
     chunkable = F.filter(
         "spans",
@@ -55,43 +69,14 @@ def chunk_spans(extracted: DataFrame) -> DataFrame:
         & (F.length(F.coalesce(s.text, F.lit(""))) > 0),
     )
     out = extracted.select(
-        "url", node_map.alias("_m"), F.explode(chunkable).alias("s")
+        "url", hmap.alias("_h"), F.explode(chunkable).alias("s")
     )
-    # full heading ancestry: walk parent links until a title/section_header
-    # (or the root) — an in-row fold over a constant sequence, still zero
-    # joins/shuffles. State: (cur ancestor idx, heading found so far); once
-    # the heading is found or the chain ends (cur=-1 → map miss → NULL node)
-    # the remaining iterations are constant-cost no-ops.
-    def _walk_step(acc, _):
-        # Spark's If evaluates branches lazily: once the walk is done
-        # (cur < 0, meaning heading found or chain exhausted) the remaining
-        # iterations skip the O(|spans|) map probe entirely
-        node = F.element_at(F.col("_m"), acc["cur"])
-        advanced = F.struct(
-            F.when(
-                node["label"].isin(*_HEADINGS) | node["parent"].isNull(),
-                F.lit(-1),
-            )
-            .otherwise(node["parent"])
-            .alias("cur"),
-            F.when(node["label"].isin(*_HEADINGS), node["text"]).alias(
-                "heading"
-            ),
-        )
-        return F.when(acc["cur"] < 0, acc).otherwise(advanced)
-
-    heading = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_MAX_ANCESTRY)),
-        F.struct(
-            F.col("s.parent").alias("cur"),
-            F.lit(None).cast("string").alias("heading"),
-        ),
-        _walk_step,
-    )["heading"]
+    # chunk items are never headings (filtered to _CHUNK_LABELS), so the
+    # item's own map entry IS its nearest strict-ancestor heading
     return out.select(
         "url",
         F.col("s.idx").alias("span_idx"),
-        heading.alias("heading"),
+        F.try_element_at(F.col("_h"), F.col("s.idx")).alias("heading"),
         F.col("s.text").alias("chunk_text"),
     )
 

@@ -454,6 +454,32 @@ def synth_pages_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pages_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → EXTENSIONLESS csv source blobs: the url carries
+    no format hint, so dispatch must detect CSV from content (the JVM
+    analog of the reference's _detect_csv, document.py:659-686). Pure JVM
+    string build: a 2-column header + one data row."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+    did = F.col("doc_id").cast("string")
+    id2 = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
+    csv_str = F.concat(
+        F.lit("K,V\nk"), id2, F.lit(",v"), id2, F.lit("\n")
+    )
+    return docs.select(
+        F.concat(F.lit("https://synth.test/data/"), did).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(csv_str, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+    )
+
+
 # ----------------------------------------- synthetic md / asciidoc sources
 def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → markdown source blobs (pure JVM string build)."""

@@ -98,3 +98,92 @@ def test_convert_cli(tmp_path):
     ).read()
     assert md == golden
     assert (tmp_path / "example_01.json").exists()
+
+
+# ---------------------------------------------- round-4 dispatch hygiene
+def _ct(spark, rows):
+    out = with_content_type(_mk_pages(spark, rows)).select(
+        "url", "content_type"
+    ).collect()
+    return {r.url: r.content_type for r in out}
+
+
+def test_sniff_probes_are_prefix_bounded(spark):
+    """A format marker buried deep in the blob must NOT flip the dispatch
+    (reference sniffs only an 8 KB window, document.py:513,527 — verdict
+    round-3 'wrong' #1). 10 MB of padding, marker at the end."""
+    pad = b"A" * (10 * 1024 * 1024)
+    rows = [
+        ("https://t/deep-jats", pad + b"JATS-journalpublishing"),
+        ("https://t/deep-uspto", pad + b"us-patent-grant-v4"),
+        (
+            "https://t/deep-zip",
+            b"PK\x03\x04" + pad + b"word/document.xml",
+        ),
+    ]
+    ct = _ct(spark, rows)
+    assert ct["https://t/deep-jats"] == "other"
+    assert ct["https://t/deep-uspto"] == "other"
+    # the zip probe windows are head+tail: a member name in the LAST 64 KB
+    # (where a real central directory lives) DOES count
+    assert ct["https://t/deep-zip"] == "docx"
+
+
+def test_zip_probe_sees_central_directory_tail(spark):
+    """Member names only in the trailing window (central directory at EOF)
+    still dispatch; names only in the unscanned middle do not."""
+    mid_pad = b"B" * (1024 * 1024)
+    rows = [
+        ("https://t/tail-ofd", b"PK\x03\x04" + mid_pad + b"OFD.xml"),
+        (
+            "https://t/middle-only",
+            b"PK\x03\x04"
+            + b"C" * (80 * 1024)
+            + b"xl/workbook.xml"
+            + b"D" * (1024 * 1024),
+        ),
+    ]
+    ct = _ct(spark, rows)
+    assert ct["https://t/tail-ofd"] == "ofd"
+    assert ct["https://t/middle-only"] == "other"
+
+
+def test_extensionless_csv_content_sniff(spark):
+    """CSV with no url extension routes via content (reference _detect_csv,
+    document.py:659-686): consistent delimiter counts over >=2 lines."""
+    rows = [
+        ("https://t/data1", b"a,b,c\n1,2,3\n4,5,6\n"),
+        ("https://t/data2", b"x;y\n1;2\n"),
+        ("https://t/data3", b"p|q\n1|2\n3|4\n"),
+        ("https://t/data4", b"k\tv\n1\t2\n"),
+        # prose: comma counts differ line-to-line -> not csv
+        ("https://t/prose", b"Hello, world, again\nsecond line here\n"),
+        # single line -> not csv
+        ("https://t/oneline", b"a,b,c"),
+    ]
+    ct = _ct(spark, rows)
+    assert ct["https://t/data1"] == "csv"
+    assert ct["https://t/data2"] == "csv"
+    assert ct["https://t/data3"] == "csv"
+    assert ct["https://t/data4"] == "csv"
+    assert ct["https://t/prose"] == "other"
+    assert ct["https://t/oneline"] == "other"
+
+
+def test_csv_sniff_extraction_end_to_end(spark):
+    """Extensionless CSV all the way through the job: csvx backend output."""
+    pages = _mk_pages(spark, [("https://t/data", b"K,V\nk1,v1\n")])
+    out = extract_pages(pages).collect()
+    assert out[0].content_type == "csv"
+    assert out[0].status == "success"
+    assert out[0].extracted_text == (
+        "| K   | V   |\n|-----|-----|\n| k1  | v1  |"
+    )
+
+
+def test_html_sniff_wins_over_csv(spark):
+    """Detection order matches the reference: html sniff runs BEFORE the
+    csv sniff (document.py:540-542)."""
+    blob = b"<html><body><table><tr><td>a,b\nc,d</td></tr></table></body></html>"
+    ct = _ct(spark, [("https://t/page", blob)])
+    assert ct["https://t/page"] == "html"
