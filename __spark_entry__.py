@@ -134,6 +134,41 @@ def q_structured_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_structured_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic structured-extraction TEMPLATE engine
+    (docling_spark/extractor.py compile_template/apply_template — the
+    non-NN analog of the reference's ExtractionTemplateType,
+    extraction.py:38-39): named typed regex fields over per-page raw_text
+    of an invoice-style corpus; every extracted field is value-checked."""
+    from docling_spark.extractor import extract_structured
+    from docling_spark.ops.corpus import synth_pages_pdf_invoice
+
+    template = {
+        "inv_no": {"pattern": r"Invoice\s+INV-(\d+)", "type": "int"},
+        "inv_date": {
+            "pattern": r"Date:\s+(\d{4}-\d{2}-\d{2})",
+            "type": "date",
+        },
+        "total": {"pattern": r"Total:\s+([\d,.]+)\s+USD", "type": "float"},
+        "paid": {"pattern": r"Paid:\s+(\w+)", "type": "bool"},
+        "missing": {"pattern": r"Discount:\s+(\d+)", "type": "int"},
+    }
+    out = extract_structured(
+        synth_pages_pdf_invoice(spark, sf_dir), template=template
+    )
+    j = F.col("extracted_data")
+    return out.select(
+        "url",
+        "status",
+        "page_no",
+        F.get_json_object(j, "$.inv_no").cast("int").alias("inv_no"),
+        F.get_json_object(j, "$.inv_date").alias("inv_date"),
+        F.get_json_object(j, "$.total").cast("double").alias("total"),
+        F.get_json_object(j, "$.paid").cast("boolean").alias("paid"),
+        F.get_json_object(j, "$.missing").cast("int").alias("missing"),
+    )
+
+
 def q_pdf_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Located DocTags from the deterministic PDF path (the reference's VLM
     pipelines emit exactly this format): structural blocks → SpanDoc →
@@ -479,6 +514,30 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_png_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec end-to-end in ONE driver row: decode metadata +
+    pixel features + nearest-neighbor resize (ops/png.py: zlib + all five
+    filter reconstructions — every synth PNG uses filter doc_id %% 5),
+    joined on doc_id so each sub-operator's values gate the row."""
+    from docling_spark.ops import multimodal as mm
+
+    media = mm.synth_media(spark, sf_dir)
+    meta = mm.decode_image_meta(media, col="png")
+    feats = mm.image_features(media, col="png").select(
+        "doc_id",
+        F.col("mean_px").alias("f_mean_px"),
+        F.col("min_px").alias("f_min_px"),
+        F.col("max_px").alias("f_max_px"),
+    )
+    rez = mm.resize_image(media, factor=2, col="png").select(
+        "doc_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+        F.col("mean_px").alias("r_mean_px"),
+    )
+    return meta.join(feats, "doc_id").join(rez, "doc_id")
+
+
 def q_mm_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG decode (ops/png.py: zlib + filter reconstruction — every
     synth PNG uses filter type doc_id %% 5, so all five reconstruction
@@ -746,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": q_pdf_extract,
         "pdf_encrypted": q_pdf_encrypted,
         "structured_extract": q_structured_extract,
+        "structured_fields": q_structured_fields,
         "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
         "format_dispatch": q_format_dispatch,
@@ -791,12 +851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
         # -- multimodal (real codecs) -----------------------------------
-        "mm_png_meta": q_mm_png_meta,
-        "mm_png_features": q_mm_png_features,
-        "mm_png_resize": q_mm_png_resize,
+        "mm_png_ops": q_mm_png_ops,
         "mm_sniff_meta": q_mm_sniff_meta,
         "mm_wav_meta": q_mm_wav_meta,
         # -- tail: value-redundant with an earlier entry ----------------
+        "mm_png_meta": q_mm_png_meta,  # sub-row of mm_png_ops
+        "mm_png_features": q_mm_png_features,  # sub-row of mm_png_ops
+        "mm_png_resize": q_mm_png_resize,  # sub-row of mm_png_ops
         "chunk_pack": q_chunk_pack,  # same pack path as chunk_pack_bpe
         "simhash": q_simhash,  # signature step of simhash_pairs
         "minhash_signatures": q_minhash_signatures,  # step of lsh_dup_pairs
@@ -980,6 +1041,19 @@ def oracle_sql() -> dict[str, str]:
                    'Document ' || doc_id || chr(10) || chr(10) || text
                        AS raw_text,
                    0 AS n_errors
+            FROM documents
+        """,
+        "structured_fields": """
+            SELECT 'https://synth.test/inv/' || doc_id || '.pdf' AS url,
+                   'success' AS status, 1 AS page_no,
+                   CAST(doc_id AS INTEGER) AS inv_no,
+                   '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       AS inv_date,
+                   CAST(CAST((doc_id * 37) % 9000 AS VARCHAR) || '.' ||
+                        lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                        AS DOUBLE) AS total,
+                   (doc_id % 2 = 0) AS paid,
+                   CAST(NULL AS INTEGER) AS missing
             FROM documents
         """,
         "mixed_dispatch": """
@@ -1312,6 +1386,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS height,
                    CAST(doc_id % 251 AS DOUBLE) AS mean_px
             FROM documents
+        """,
+        "mm_png_ops": """
+            SELECT d.doc_id,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS height,
+                   1 AS channels,
+                   (16 + d.doc_id % 32) * (8 + d.doc_id % 16) AS n_bytes,
+                   (SELECT avg((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS f_mean_px,
+                   CAST((SELECT min((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS f_min_px,
+                   CAST((SELECT max((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS f_max_px,
+                   CAST(greatest((16 + d.doc_id % 32) // 2, 1) AS INTEGER)
+                       AS r_width,
+                   CAST(greatest((8 + d.doc_id % 16) // 2, 1) AS INTEGER)
+                       AS r_height,
+                   (SELECT avg((d.doc_id + 2 * x.k) % 256)
+                    FROM (SELECT unnest(range(0,
+                           greatest((16 + d.doc_id % 32) // 2, 1))) AS k) x
+                   ) AS r_mean_px
+            FROM documents d
         """,
         "mm_png_meta": """
             SELECT doc_id,

@@ -164,6 +164,53 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def invoice_text(doc_id: int) -> str:
+    """Deterministic invoice-style body for the structured-extraction
+    template oracle (all fields derivable from doc_id in SQL)."""
+    return (
+        f"Invoice INV-{doc_id} "
+        f"Date: 2024-02-{(doc_id % 28) + 1:02d} "
+        f"Total: {(doc_id * 37) % 9000}.{doc_id % 100:02d} USD "
+        f"Paid: {'yes' if doc_id % 2 == 0 else 'no'}"
+    )
+
+
+def synth_pages_pdf_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → invoice-style PDF blobs (template-engine corpus:
+    every field of the invoice is a deterministic function of doc_id)."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    par = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/inv/{i}.pdf" for i in b["doc_id"]
+                    ],
+                    "warc_ts": pd.Timestamp("2024-01-01")
+                    + pd.to_timedelta(b["doc_id"], unit="s"),
+                    "html": [
+                        synth_pdf_bytes(int(i), invoice_text(int(i)))
+                        for i in b["doc_id"]
+                    ],
+                    "text": b["text"],
+                    "lang": b["lang"],
+                }
+            )
+
+    return docs.mapInPandas(
+        build,
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
 def synth_pages_pdf_encrypted(
     spark: SparkSession, sf_dir: str, password: str = "sesame"
 ) -> DataFrame:

@@ -51,3 +51,62 @@ def test_image_routes_with_page_error():
 def test_garbage_contained():
     r = extract_document(b"%PDF-1.4 garbage truncated")
     assert r.status == "failure" and r.errors
+
+
+# ------------------------------------------- round-4: template engine
+def test_template_typed_extraction():
+    from docling_spark.extractor import apply_template, compile_template
+    from docling_spark.ops.corpus import invoice_text, synth_pdf_bytes
+
+    tmpl = compile_template(
+        {
+            "inv_no": {"pattern": r"Invoice\s+INV-(\d+)", "type": "int"},
+            "inv_date": {
+                "pattern": r"Date:\s+(\d{4}-\d{2}-\d{2})",
+                "type": "date",
+            },
+            "total": {"pattern": r"Total:\s+([\d,.]+)\s+USD", "type": "float"},
+            "paid": {"pattern": r"Paid:\s+(\w+)", "type": "bool"},
+            "missing": {"pattern": r"Discount:\s+(\d+)", "type": "int"},
+        }
+    )
+    blob = synth_pdf_bytes(42, invoice_text(42))
+    r = extract_document(blob, template=tmpl)
+    assert r.status == "success"
+    d = r.pages[0].extracted_data
+    assert d == {
+        "inv_no": 42,
+        "inv_date": "2024-02-15",
+        "total": float(f"{(42 * 37) % 9000}.{42 % 100:02d}"),
+        "paid": True,
+        "missing": None,
+    }
+
+
+def test_template_json_string_form_and_bare_pattern():
+    from docling_spark.extractor import apply_template, compile_template
+
+    # the str template form is the same dict as JSON (reference
+    # ExtractionTemplateType allows str); a bare string spec = str field
+    tmpl = compile_template(
+        '{"word": "W-(\\\\w+)", "tail": {"pattern": "end:(.*)$"}}'
+    )
+    d = apply_template(tmpl, "x W-alpha y end:omega")
+    assert d == {"word": "alpha", "tail": "omega"}
+
+
+def test_template_coercion_failure_yields_none_field():
+    from docling_spark.extractor import apply_template, compile_template
+
+    tmpl = compile_template({"n": {"pattern": r"n=(\w+)", "type": "int"}})
+    assert apply_template(tmpl, "n=notanint")["n"] is None
+    assert apply_template(tmpl, None) is None
+
+
+def test_template_unknown_type_rejected():
+    import pytest
+
+    from docling_spark.extractor import compile_template
+
+    with pytest.raises(ValueError):
+        compile_template({"x": {"pattern": "a", "type": "uuid"}})
