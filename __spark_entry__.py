@@ -494,6 +494,26 @@ def q_chunk_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(decorated, budget_tokens=16, tokenizer="bpe_lite")
 
 
+def q_chunk_pack_bpe_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing under the REAL vocab-merge BPE (ops/bpe.py: frozen in-repo
+    merges, HF-style lowest-rank-pair application in a vectorized Pandas
+    UDF). The oracle re-implements the SAME merge semantics as a DuckDB
+    recursive CTE over the distinct pre-tokens — an independent evaluator,
+    so the counts are value-checked merge-for-merge."""
+    from docling_spark.ops.chunker import chunk_spans, pack_chunks
+
+    chunks = chunk_spans(extract_pages(synth_pages(spark, sf_dir)))
+    decorated = chunks.withColumn(
+        "chunk_text",
+        F.concat(
+            F.col("chunk_text"),
+            F.lit(", it's #"),
+            F.col("span_idx").cast("string"),
+        ),
+    )
+    return pack_chunks(decorated, budget_tokens=16, tokenizer="bpe_full")
+
+
 def q_mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
@@ -831,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uspto_extract": q_uspto_extract,
         # -- chunking / curation / training-data ops --------------------
         "chunk_pack_bpe": q_chunk_pack_bpe,
+        "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
         "curate": q_curate,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
@@ -967,9 +988,11 @@ _STOP_HITS = " + ".join(
 def oracle_sql() -> dict[str, str]:
     synth_url = "'https://synth.test/doc/' || doc_id || '.html'"
     synth_url_deep = "'https://synth.test/doc/' || doc_id || '-deep.html'"
+    from docling_spark.ops.bpe import merges_sql_values
     from docling_spark.ops.chunker import BPE_LITE_PATTERN
 
     bpe_sql = BPE_LITE_PATTERN.replace("'", "''")
+    bpe_merges = merges_sql_values()
     synth_html = (
         "'<html><head><title>Doc ' || doc_id || '</title></head><body>' || chr(10) || "
         "'<h1>Document ' || doc_id || '</h1>' || chr(10) || "
@@ -1340,6 +1363,72 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(chunk_text, ' ' ORDER BY span_idx) AS packed_text
             FROM (SELECT *, cum AS cum0 FROM c)
             GROUP BY url, CAST((cum0 - 1) // 16 AS INTEGER)
+        """,
+        "chunk_pack_bpe_full": f"""
+            WITH RECURSIVE
+            chunks AS (
+              SELECT {synth_url} AS url, 3 AS span_idx,
+                     text || ', it''s #3' AS chunk_text
+              FROM documents
+              UNION ALL
+              SELECT {synth_url}, 4 + g.k,
+                     split_part(text, ' ', g.k) || ', it''s #' || (4 + g.k)
+              FROM documents, LATERAL (SELECT unnest(range(1, 4)) AS k) g
+            ),
+            pt AS (
+              SELECT url, span_idx,
+                     unnest(regexp_extract_all(chunk_text, '{bpe_sql}')) AS tok
+              FROM chunks
+            ),
+            words AS (SELECT DISTINCT tok FROM pt),
+            -- the frozen merges table (DATA: deterministic function of the
+            -- in-repo seed corpus, ops/bpe.py FROZEN_MERGES)
+            m(a, b, rank) AS (SELECT * FROM (VALUES {bpe_merges}) t(a, b, rank)),
+            seed AS (
+              SELECT tok,
+                     list_transform(range(1, length(tok) + 1),
+                                    i -> substr(tok, CAST(i AS INTEGER), 1))
+                         AS toks
+              FROM words
+            ),
+            -- HF-style BPE application, independently re-evaluated: each
+            -- step merges the LEFTMOST occurrence of the LOWEST-RANK
+            -- adjacent pair; fixpoint when no adjacent pair is in m
+            bpe AS (
+              SELECT tok, toks FROM seed
+              UNION ALL
+              SELECT b.tok,
+                     list_slice(b.toks, 1, best.i - 1)
+                     || [b.toks[best.i] || b.toks[best.i + 1]]
+                     || list_slice(b.toks, best.i + 2, len(b.toks))
+              FROM bpe b, LATERAL (
+                 SELECT p.i AS i
+                 FROM (SELECT unnest(range(1, len(b.toks))) AS i) p
+                 JOIN m ON m.a = b.toks[p.i] AND m.b = b.toks[p.i + 1]
+                 ORDER BY m.rank, p.i
+                 LIMIT 1
+              ) best
+            ),
+            counts AS (SELECT tok, min(len(toks)) AS n FROM bpe GROUP BY tok),
+            t AS (
+              SELECT ch.url, ch.span_idx, any_value(ch.chunk_text) AS chunk_text,
+                     CAST(sum(c.n) AS BIGINT) AS n_tokens
+              FROM (SELECT url, span_idx,
+                           unnest(regexp_extract_all(chunk_text, '{bpe_sql}')) AS tok,
+                           chunk_text
+                    FROM chunks) ch
+              JOIN counts c ON c.tok = ch.tok
+              GROUP BY ch.url, ch.span_idx
+            ),
+            c AS (
+              SELECT *, sum(n_tokens) OVER (PARTITION BY url ORDER BY span_idx
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT url, CAST((cum - 1) // 16 AS INTEGER) AS pack_id,
+                   count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(chunk_text, ' ' ORDER BY span_idx) AS packed_text
+            FROM c
+            GROUP BY url, CAST((cum - 1) // 16 AS INTEGER)
         """,
         "chunk_pack_bpe": f"""
             WITH chunks AS (

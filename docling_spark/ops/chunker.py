@@ -19,6 +19,7 @@ tests/test_plans.py::test_chunk_spans_no_joins).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves "pd.Series" hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -97,13 +98,27 @@ def token_count_col(text_col, tokenizer: str = "whitespace"):
     - ``bpe_lite``: count of BPE pre-tokens under :data:`BPE_LITE_PATTERN`
       — a realistic budget proxy for byte-pair-encoded LLM tokenizers
       (every real BPE token boundary is a sub-split of these pre-tokens)
-
-    A real vocab-merge BPE would slot in here as another branch (e.g. a
-    broadcast-merges Pandas UDF); the seam is the tokenizer name."""
+    - ``bpe_full``: REAL vocab-merge BPE (ops/bpe.py: frozen in-repo
+      merges table, HF-style lowest-rank-pair application) counted in a
+      vectorized Pandas UDF with a per-worker pre-token cache — the one
+      tokenizer branch that crosses into Python, because merge loops are
+      not expressible as JVM column functions."""
     if tokenizer == "whitespace":
         return F.size(F.split(text_col, " "))
     if tokenizer == "bpe_lite":
         return F.regexp_count(text_col, F.lit(BPE_LITE_PATTERN))
+    if tokenizer == "bpe_full":
+        from pyspark.sql.functions import pandas_udf
+
+        from .bpe import token_count as _bpe_count
+
+        @pandas_udf("int")
+        def _count(texts: pd.Series) -> pd.Series:
+            return texts.map(
+                lambda t: _bpe_count(t) if t is not None else 0
+            ).astype("int32")
+
+        return _count(text_col)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
