@@ -1289,9 +1289,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ofd_extract": """
+            -- last paragraph is GLYPH-ENCODED in the container (PUA
+            -- TextCode + CGTransform glyph ids through the embedded font):
+            -- its presence here value-checks the ofd_glyphs cmap decode
             SELECT 'https://synth.test/doc/' || doc_id || '.ofd' AS url,
                    'success' AS status, 'ofd' AS content_type,
                    '# Document ' || doc_id || chr(10) || chr(10) || text
+                   || chr(10) || chr(10) || 'sealed v'
+                   || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
                        AS extracted_text
             FROM documents
         """,

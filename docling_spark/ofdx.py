@@ -6,13 +6,14 @@ Reference parity: OFDDocumentBackend + OFDZipParser
 pipeline is zip → OFD.xml → DocRoot → Document.xml → per-page Content.xml
 TextObjects, then deterministic line grouping / paragraph building; on top
 of that it optionally runs a fonttools glyph decoder and a RapidOCR
-fallback for Private-Use-Area (PUA) codepoints. Those two are font/NN
-paths (both optional in the reference too — it logs "fonttools not
-available, PUA character decoding disabled" and carries on); here the
-deterministic remainder is replicated exactly: PUA characters are stripped
-when a cleaned text survives (ofd_backend.py:372-380), and blocks whose
-text is entirely PUA keep their raw text, mirroring the reference's
-fallthrough.
+fallback for Private-Use-Area (PUA) codepoints. The glyph decoder IS
+replicated here — stdlib sfnt cmap parsing (ofd_glyphs.py) maps
+<CGTransform><Glyphs> ids through the embedded font exactly like the
+reference's fonttools path (ofd_glyph_decoder.py:120-159). Only the OCR
+fallback stays out (NN). Blocks the decoder cannot resolve follow the
+reference's no-fonttools fallthrough: PUA characters are stripped when a
+cleaned text survives (ofd_backend.py:372-380), and blocks whose text is
+entirely PUA keep their raw text.
 
 Structure produced: optional title (DocInfo metadata), one "text" item per
 reconstructed paragraph, one picture per referenced image object —
@@ -237,6 +238,10 @@ class _OfdZip:
         self.zf = zf
         self.names = set(zf.namelist())
         self.ns = {"ofd": _DEFAULT_NS}
+        # font_id → archive path of the embedded font (res.xml Fonts), and
+        # the per-document reverse-cmap cache (glyph id → codepoint)
+        self.fonts: Dict[str, str] = {}
+        self._rev: Dict[str, Optional[Dict[int, int]]] = {}
 
     def _xml(self, path: str) -> ET.Element:
         return ET.fromstring(self.zf.read(path))
@@ -288,6 +293,18 @@ class _OfdZip:
     ) -> None:
         res_xml = self._xml(res_loc)
         res_base = res_xml.get("BaseLoc")
+        # embedded fonts (reference ofd_glyph_decoder._discover_font_paths:
+        # res.xml → Fonts/Font[@ID]/FontFile, resolved against BaseLoc)
+        for fe in res_xml.findall(".//ofd:Font", self.ns):
+            font_id = fe.get("ID")
+            if not font_id:
+                continue
+            ff = fe.find("ofd:FontFile", self.ns)
+            if ff is None or not ff.text:
+                continue
+            path = _resolve_path(document_dir, res_base, ff.text)
+            if path:
+                self.fonts.setdefault(font_id, path)
         for mm in res_xml.findall("ofd:MultiMedias/ofd:MultiMedia", self.ns):
             media_id = mm.get("ID")
             if not media_id:
@@ -299,6 +316,25 @@ class _OfdZip:
                 else None
             )
             images[media_id] = path or ""
+
+    def _font_rev(self, font_id: str) -> Optional[Dict[int, int]]:
+        """Load + cache the reverse cmap of an embedded font (stdlib sfnt
+        parse, ofd_glyphs.py); None when absent/unparsable — the caller
+        falls through to the PUA-strip path exactly like the reference
+        does without fonttools."""
+        if font_id in self._rev:
+            return self._rev[font_id]
+        rev: Optional[Dict[int, int]] = None
+        path = self.fonts.get(font_id)
+        if path and path in self.names:
+            try:
+                from .ofd_glyphs import reverse_cmap
+
+                rev = reverse_cmap(self.zf.read(path)) or None
+            except Exception:
+                rev = None
+        self._rev[font_id] = rev
+        return rev
 
     def _parse_page(self, page_xml: ET.Element) -> _Page:
         page = _Page()
@@ -312,7 +348,26 @@ class _OfdZip:
                 )
                 if not raw:
                     continue
-                text = _decode_block_text(raw)
+                # glyph decode first (reference _decode_text_block order:
+                # CGTransform glyph ids through the embedded font's cmap,
+                # ofd_backend.py:352-362), then the PUA fallthrough
+                decoded = raw
+                font_id = tobj.get("Font")
+                cg = tobj.find("ofd:CGTransform", self.ns)
+                glyphs = None
+                if cg is not None:
+                    ge = cg.find("ofd:Glyphs", self.ns)
+                    if ge is not None and ge.text:
+                        glyphs = ge.text.strip()
+                if glyphs and font_id:
+                    rev = self._font_rev(font_id)
+                    if rev:
+                        from .ofd_glyphs import decode_glyphs
+
+                        got = decode_glyphs(rev, glyphs, raw)
+                        if got:
+                            decoded = got
+                text = _decode_block_text(decoded)
                 if not text.strip():
                     continue
                 x, y, width, height = boundary

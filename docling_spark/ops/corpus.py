@@ -405,11 +405,58 @@ def synth_pages_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- synthetic OFD
+def synth_ttf_bytes(mapping: "dict[int, int]") -> bytes:
+    """Minimal valid sfnt carrying ONLY a format-4 cmap (codepoint → glyph
+    id) — enough for the ofd_glyphs stdlib parser, tiny enough to embed in
+    every synth OFD container. One segment per codepoint (idRangeOffset 0,
+    idDelta = gid - cp)."""
+    import struct
+
+    cps = sorted(mapping)
+    segs = [(cp, (mapping[cp] - cp) & 0xFFFF) for cp in cps] + [(0xFFFF, 1)]
+    segcount = len(segs)
+    sub = struct.pack(
+        ">HHHHHHH", 4, 16 + 8 * segcount, 0, segcount * 2, 1, 0, 0
+    )
+    sub += b"".join(struct.pack(">H", cp) for cp, _ in segs)  # endCodes
+    sub += b"\x00\x00"  # reservedPad
+    sub += b"".join(struct.pack(">H", cp) for cp, _ in segs)  # startCodes
+    sub += b"".join(struct.pack(">H", d) for _, d in segs)  # idDeltas
+    sub += b"\x00\x00" * segcount  # idRangeOffsets
+    cmap = struct.pack(">HH", 0, 1) + struct.pack(">HHI", 3, 1, 12) + sub
+    return (
+        struct.pack(">IHHHH", 0x00010000, 1, 16, 0, 0)
+        + struct.pack(">4sIII", b"cmap", 0, 28, len(cmap))
+        + cmap
+    )
+
+
+# fixed glyph-id scheme for the synth glyph paragraph: gid = ord(ch) - 30
+_OFD_GLYPH_FONT = None
+
+
+def _ofd_glyph_font() -> bytes:
+    global _OFD_GLYPH_FONT
+    if _OFD_GLYPH_FONT is None:
+        _OFD_GLYPH_FONT = synth_ttf_bytes(
+            {cp: cp - 30 for cp in range(32, 127)}
+        )
+    return _OFD_GLYPH_FONT
+
+
+def ofd_glyph_para(doc_id: int) -> str:
+    """The glyph-encoded paragraph's DECODED text (oracle-predictable)."""
+    return f"sealed v{doc_id % 100:02d}"
+
+
 def synth_ofd_bytes(doc_id: int, text: str) -> bytes:
     """Deterministic one-page OFD container (GB/T 33190 zip layout): DocInfo
     title 'Document {id}' + one body paragraph of wrapped text lines, spaced
     so the ofdx line/paragraph thresholds reconstruct exactly
-    ``# Document {id}\\n\\n{text}`` in markdown."""
+    ``# Document {id}\\n\\n{text}\\n\\n{glyph para}`` in markdown. The final
+    paragraph is GLYPH-ENCODED: its TextCode is PUA junk and the real text
+    only exists as <CGTransform><Glyphs> ids through the embedded font's
+    cmap — extracting it proves the ofd_glyphs decode path end-to-end."""
     ns = "http://www.ofdspec.org/2016"
     lines: list[str] = []
     cur: list[str] = []
@@ -431,6 +478,19 @@ def synth_ofd_bytes(doc_id: int, text: str) -> bytes:
             f"</ofd:TextObject>"
         )
         y += 5.0  # within-paragraph spacing (gap 5 <= 1.4*height)
+    # glyph-encoded paragraph: PUA TextCode, real text only via Glyphs ids
+    gtext = ofd_glyph_para(doc_id)
+    gids = " ".join(str(ord(c) - 30) for c in gtext)
+    pua = "\ue000" * len(gtext)
+    y += 15.0  # paragraph break (gap > 1.4 * line height)
+    objs.append(
+        f'<ofd:TextObject ID="199" Boundary="20 {y} 170 5" '
+        f'Font="7" Size="4">'
+        f"<ofd:CGTransform><ofd:Glyphs>{gids}</ofd:Glyphs>"
+        f"</ofd:CGTransform>"
+        f'<ofd:TextCode X="0" Y="4">{pua}</ofd:TextCode>'
+        f"</ofd:TextObject>"
+    )
     content = (
         f'<?xml version="1.0" encoding="UTF-8"?>'
         f'<ofd:Page xmlns:ofd="{ns}">'
@@ -438,11 +498,19 @@ def synth_ofd_bytes(doc_id: int, text: str) -> bytes:
         f'<ofd:Content><ofd:Layer ID="2">{"".join(objs)}</ofd:Layer>'
         f"</ofd:Content></ofd:Page>"
     )
+    public_res = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<ofd:Res xmlns:ofd="{ns}" BaseLoc="Res"><ofd:Fonts>'
+        f'<ofd:Font ID="7" FontName="SynthGlyph">'
+        f"<ofd:FontFile>font_7.ttf</ofd:FontFile></ofd:Font>"
+        f"</ofd:Fonts></ofd:Res>"
+    )
     document = (
         f'<?xml version="1.0" encoding="UTF-8"?>'
         f'<ofd:Document xmlns:ofd="{ns}"><ofd:CommonData>'
         f"<ofd:PageArea><ofd:PhysicalBox>0 0 210 297</ofd:PhysicalBox>"
-        f"</ofd:PageArea></ofd:CommonData><ofd:Pages>"
+        f"</ofd:PageArea><ofd:PublicRes>PublicRes.xml</ofd:PublicRes>"
+        f"</ofd:CommonData><ofd:Pages>"
         f'<ofd:Page ID="1" BaseLoc="Pages/Page_0/Content.xml"/>'
         f"</ofd:Pages></ofd:Document>"
     )
@@ -457,6 +525,8 @@ def synth_ofd_bytes(doc_id: int, text: str) -> bytes:
         {
             "OFD.xml": ofd_xml,
             "Doc_0/Document.xml": document,
+            "Doc_0/PublicRes.xml": public_res,
+            "Doc_0/Res/font_7.ttf": _ofd_glyph_font(),
             "Doc_0/Pages/Page_0/Content.xml": content,
         }
     )

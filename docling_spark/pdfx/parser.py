@@ -102,6 +102,24 @@ def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> by
     return bytes(out)
 
 
+def _apply_tiff_predictor(
+    data: bytes, colors: int, bpc: int, columns: int
+) -> bytes:
+    """TIFF Predictor 2 (horizontal differencing, spec Table 10): each
+    sample is stored as the delta from the previous sample of the same
+    color component; undo by a running per-row prefix sum. 8-bit
+    components (the overwhelmingly common case); sub-byte depths fall back
+    to returning the data unchanged rather than corrupting it."""
+    if bpc != 8:
+        return data
+    rowlen = colors * columns
+    out = bytearray(data)
+    for r0 in range(0, len(out) - len(out) % rowlen, rowlen):
+        for j in range(colors, rowlen):
+            out[r0 + j] = (out[r0 + j] + out[r0 + j - colors]) & 0xFF
+    return bytes(out)
+
+
 def _decode_stream(d: dict, raw: bytes, doc: "PdfDocument") -> bytes:
     filters = doc.resolve(d.get("Filter"))
     if filters is None:
@@ -130,7 +148,12 @@ def _decode_stream(d: dict, raw: bytes, doc: "PdfDocument") -> bytes:
                     int(doc.resolve(p.get("Columns", 1)) or 1),
                 )
             elif pred == 2:
-                raise NotImplementedError("TIFF predictor")
+                data = _apply_tiff_predictor(
+                    data,
+                    int(doc.resolve(p.get("Colors", 1)) or 1),
+                    int(doc.resolve(p.get("BitsPerComponent", 8)) or 8),
+                    int(doc.resolve(p.get("Columns", 1)) or 1),
+                )
         elif f in ("ASCIIHexDecode", "AHx"):
             h = re.sub(rb"[^0-9A-Fa-f]", b"", data.split(b">")[0])
             if len(h) % 2:
@@ -154,6 +177,13 @@ def _decode_stream(d: dict, raw: bytes, doc: "PdfDocument") -> bytes:
                     int(doc.resolve(p.get("BitsPerComponent", 8)) or 8),
                     int(doc.resolve(p.get("Columns", 1)) or 1),
                 )
+            elif pred == 2:
+                data = _apply_tiff_predictor(
+                    data,
+                    int(doc.resolve(p.get("Colors", 1)) or 1),
+                    int(doc.resolve(p.get("BitsPerComponent", 8)) or 8),
+                    int(doc.resolve(p.get("Columns", 1)) or 1),
+                )
         elif f in ("DCTDecode", "JPXDecode", "JBIG2Decode", "CCITTFaxDecode"):
             # image codecs: content kept opaque (pictures are placeholders in
             # the extraction contract, mirroring fetch_images=False)
@@ -172,6 +202,11 @@ def _decode_stream(d: dict, raw: bytes, doc: "PdfDocument") -> bytes:
                     out += data[i + 1 : i + 2] * (257 - l)
                     i += 2
             data = bytes(out)
+        elif f == "Crypt":
+            # spec §7.4.10: the Crypt filter names a crypt filter from the
+            # document's /CF; decryption already happened in Stream.data()
+            # via the security handler (Identity = passthrough either way)
+            continue
         else:
             raise NotImplementedError(f"filter {f}")
     return data

@@ -233,3 +233,70 @@ def test_rtl_logical_order_coverage(stem: str):
     ours = extract_pdf_text((PDF_DIR / f"{stem}.pdf").read_bytes()).text or ""
     ow = set(re.findall(r"\w+", ours, re.UNICODE))
     assert sum(c for w, c in gold.items() if w in ow) / sum(gold.values()) >= RTL_FLOORS[stem]
+
+
+# ------------------------------------------- round-4: filter gap closure
+def test_tiff_predictor2_roundtrip():
+    """TIFF horizontal differencing (Predictor 2) inverts exactly."""
+    from docling_spark.pdfx.parser import _apply_tiff_predictor
+
+    colors, columns = 3, 5
+    plain = bytes(range(colors * columns * 4))  # 4 rows
+    # forward-encode: delta each sample from the previous same-component
+    enc = bytearray(plain)
+    rowlen = colors * columns
+    for r0 in range(0, len(enc), rowlen):
+        for j in range(rowlen - 1, colors - 1, -1):
+            enc[r0 + j] = (plain[r0 + j] - plain[r0 + j - colors]) & 0xFF
+    assert _apply_tiff_predictor(bytes(enc), colors, 8, columns) == plain
+    # sub-byte depth: explicit no-op, never corruption
+    assert _apply_tiff_predictor(bytes(enc), colors, 4, columns) == bytes(enc)
+
+
+def test_flate_tiff_predictor_stream_extracts():
+    """A content stream Flate-encoded under Predictor 2 decodes through
+    the full PDF path (was a NotImplementedError error row in round 3)."""
+    import re
+    import zlib
+
+    from docling_spark.ops.corpus import synth_pdf_bytes
+    from docling_spark.pdfx.extract import extract_pdf_text
+
+    blob = synth_pdf_bytes(9, "alpha beta gamma")
+    m = re.search(rb"stream\r?\n(.*?)\nendstream", blob, re.S)
+    content = m.group(1)
+    cols = len(content)  # one "row" == whole stream: per-row prefix-sum
+    enc = bytearray(content)
+    for j in range(len(enc) - 1, 0, -1):
+        enc[j] = (content[j] - content[j - 1]) & 0xFF
+    packed = zlib.compress(bytes(enc))
+    new_obj = (
+        b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+        b"<< /Predictor 2 /Colors 1 /BitsPerComponent 8 /Columns %d >> >>\n"
+        b"stream\n%s\nendstream" % (len(packed), cols, packed)
+    )
+    old_obj = re.search(rb"<< /Length \d+ >>\nstream\n.*?\nendstream", blob, re.S)
+    out = blob[: old_obj.start()] + new_obj + blob[old_obj.end():]
+    # offsets moved: the parser's xref fallback scan must find objects
+    res = extract_pdf_text(out)
+    assert res.status == "success"
+    assert "alpha beta gamma" in res.text
+
+
+def test_crypt_filter_identity_passthrough():
+    """/Crypt filter rows pass through (decryption happens upstream)."""
+    import re
+
+    from docling_spark.ops.corpus import synth_pdf_bytes
+    from docling_spark.pdfx.extract import extract_pdf_text
+
+    blob = synth_pdf_bytes(3, "delta words here")
+    m = re.search(rb"<< /Length (\d+) >>", blob)
+    new_hdr = (
+        b"<< /Length " + m.group(1) +
+        b" /Filter /Crypt /DecodeParms << /Name /Identity >> >>"
+    )
+    out = blob[: m.start()] + new_hdr + blob[m.end():]
+    res = extract_pdf_text(out)
+    assert res.status == "success"
+    assert "delta words here" in res.text
