@@ -590,6 +590,18 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.sample_frames(mm.synth_media(spark, sf_dir), every_k=2)
 
 
+def q_mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over REAL animated GIFs (ops/gif.py: genuine
+    variable-width LZW decode + frame compositing) — every sampled pixel
+    rides through the actual codec, same deterministic law as the FVID
+    twin so the oracle is format-independent."""
+    from docling_spark.ops import multimodal as mm
+
+    return mm.sample_frames(
+        mm.synth_media(spark, sf_dir), every_k=2, col="gif_video"
+    )
+
+
 def q_mm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops import multimodal as mm
 
@@ -875,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_png_ops": q_mm_png_ops,
         "mm_sniff_meta": q_mm_sniff_meta,
         "mm_wav_meta": q_mm_wav_meta,
+        "mm_gif_frames": q_mm_gif_frames,
         # -- tail: value-redundant with an earlier entry ----------------
         "mm_png_meta": q_mm_png_meta,  # sub-row of mm_png_ops
         "mm_png_features": q_mm_png_features,  # sub-row of mm_png_ops
@@ -1540,6 +1553,14 @@ def oracle_sql() -> dict[str, str]:
                            greatest((16 + d.doc_id % 32) // 2, 1))) AS k) x
                    ) AS mean_px
             FROM documents d
+        """,
+        "mm_gif_frames": """
+            SELECT d.doc_id,
+                   CAST(k.k AS INTEGER) AS frame_idx,
+                   (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8) AS frame_bytes,
+                   CAST((d.doc_id + k.k) % 256 AS INTEGER) AS first_px
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, 4 + d.doc_id % 12, 2)) AS k) k
         """,
         "mm_frame_sample": """
             SELECT d.doc_id,

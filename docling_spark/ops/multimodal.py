@@ -67,6 +67,19 @@ def make_video(doc_id: int) -> bytes:
     return b"FVID" + struct.pack(">iii", nframes, fw, fh) + frames
 
 
+def make_video_gif(doc_id: int) -> bytes:
+    """REAL animated GIF (ops/gif.py: LZW-compressed frames, grayscale
+    GCT) carrying the SAME deterministic pixel law as the FVID fake — the
+    frame-sampling oracle is format-independent."""
+    from .gif import encode_gif
+
+    nframes, fw, fh = _vid_params(doc_id)
+    frames = [
+        bytes([(doc_id + k) % 256]) * (fw * fh) for k in range(nframes)
+    ]
+    return encode_gif(frames, fw, fh)
+
+
 def make_png(doc_id: int) -> bytes:
     """REAL PNG (ops/png.py encoder): greyscale gradient, row-constant —
     pixel(x, y) = (doc_id + x) % 256, so mean/min/max are SQL-derivable."""
@@ -156,14 +169,19 @@ def parse_wav(blob: bytes):
 
 
 def _decode_real(blob: bytes):
-    """Real-codec seam. PNG is fully implemented (zlib + filter
-    reconstruction, ops/png.py — no external deps); JPEG/ffmpeg formats
-    still raise until a codec exists in the environment."""
+    """Real-codec seam. PNG (ops/png.py) and animated GIF (ops/gif.py)
+    are fully implemented stdlib codecs; JPEG-scan/ffmpeg formats still
+    raise until a codec exists in the environment."""
     from .png import decode_png, is_png
 
     if is_png(blob):
         return decode_png(blob)
-    raise NotImplementedError("only PNG has a real codec in this env")
+    if blob[:6] in (b"GIF89a", b"GIF87a"):
+        from .gif import decode_gif
+
+        w, h, frames, _gct = decode_gif(blob)
+        return w, h, 1, frames[0] if frames else b""
+    raise NotImplementedError("only PNG/GIF have real codecs in this env")
 
 
 # ---------------------------------------------------------------- synthesis
@@ -183,6 +201,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "image": [make_image(i) for i in ids],
                     "png": [make_png(i) for i in ids],
                     "video": [make_video(i) for i in ids],
+                    "gif_video": [make_video_gif(i) for i in ids],
                     "audio": [make_audio(i) for i in ids],
                     "wav": [make_wav(i) for i in ids],
                     "jpeg": [make_jpeg_header(i) for i in ids],
@@ -195,7 +214,8 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         schema=(
             "doc_id long, image binary, png binary, video binary, "
-            "audio binary, wav binary, jpeg binary, gif binary, bmp binary"
+            "gif_video binary, audio binary, wav binary, jpeg binary, "
+            "gif binary, bmp binary"
         ),
     )
 
@@ -303,15 +323,29 @@ def resize_image(
     )
 
 
-def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
+def sample_frames(
+    media: DataFrame, every_k: int = 2, col: str = "video"
+) -> DataFrame:
     """Video frame sampling: one output row per kept frame (fan-out op —
-    the mapInPandas yields more rows than it receives)."""
+    the mapInPandas yields more rows than it receives). Dual-format:
+    REAL animated GIF containers (ops/gif.py LZW decode) or the FVID
+    fake — same output law either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
-            for doc_id, blob in zip(b["doc_id"], b["video"]):
+            for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
+                if blob[:6] in (b"GIF89a", b"GIF87a"):
+                    from .gif import decode_gif
+
+                    _w, _h, frames, _gct = decode_gif(blob)
+                    for k in range(0, len(frames), every_k):
+                        f = frames[k]
+                        rows.append(
+                            (int(doc_id), k, len(f), f[0] if f else None)
+                        )
+                    continue
                 if blob[:4] != b"FVID":
                     continue
                 nframes, fw, fh = struct.unpack(">iii", blob[4:16])
@@ -323,7 +357,7 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
                 rows, columns=["doc_id", "frame_idx", "frame_bytes", "first_px"]
             )
 
-    return media.select("doc_id", "video").mapInPandas(
+    return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes long, first_px int"
     )
 
