@@ -534,6 +534,82 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVERY real from-scratch codec in ONE driver row per doc, joined on
+    doc_id so each codec's decoded VALUES gate the row: PNG (ops/png.py:
+    zlib + all five filters — meta, pixel features, nearest-neighbor
+    resize), baseline JPEG (ops/jpeg.py: huffman entropy decode + IDCT
+    over genuinely entropy-coded scans — block-constant unit-quant law
+    px(x)=(doc_id+16*(x//8))%%256 makes the decode bit-exact), RIFF/WAVE
+    (parse_wav), animated GIF (ops/gif.py LZW — frame sampling aggregated
+    per doc), multi-page TIFF (ops/tiff.py: Deflate strips + Predictor 2
+    undo, page fan-out aggregated), and the BMP header sniff
+    (ops/png.image_meta)."""
+    from docling_spark.ops import multimodal as mm
+
+    media = mm.synth_media(spark, sf_dir)
+    meta = mm.decode_image_meta(media, col="png")
+    feats = mm.image_features(media, col="png").select(
+        "doc_id",
+        F.col("mean_px").alias("f_mean_px"),
+        F.col("min_px").alias("f_min_px"),
+        F.col("max_px").alias("f_max_px"),
+    )
+    rez = mm.resize_image(media, factor=2, col="png").select(
+        "doc_id",
+        F.col("width").alias("r_width"),
+        F.col("height").alias("r_height"),
+        F.col("mean_px").alias("r_mean_px"),
+    )
+    jm = mm.decode_image_meta(media, col="jpeg_full").select(
+        "doc_id",
+        F.col("width").alias("j_width"),
+        F.col("height").alias("j_height"),
+        F.col("n_bytes").alias("j_bytes"),
+    )
+    jf = mm.image_features(media, col="jpeg_full").select(
+        "doc_id",
+        F.col("mean_px").alias("j_mean_px"),
+        F.col("min_px").alias("j_min_px"),
+        F.col("max_px").alias("j_max_px"),
+    )
+    wav = mm.audio_meta(media, col="wav")
+    gif = (
+        mm.sample_frames(media, every_k=2, col="gif_video")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("g_frames"),
+            F.sum("frame_bytes").alias("g_bytes"),
+            F.min(F.when(F.col("frame_idx") == 0, F.col("first_px"))).alias(
+                "g_px0"
+            ),
+        )
+    )
+    tif = (
+        mm.tiff_pages(media, col="tiff")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("t_pages"),
+            F.min("width").alias("t_width"),
+            F.min("height").alias("t_height"),
+            F.min(F.when(F.col("page") == 0, F.col("mean_px"))).alias(
+                "t_mean0"
+            ),
+            F.round(F.sum("mean_px"), 6).alias("t_mean_sum"),
+        )
+    )
+    bmp = mm.sniff_image_meta(media, col="bmp").select(
+        "doc_id",
+        F.col("width").alias("s_bmp_width"),
+        F.col("height").alias("s_bmp_height"),
+        F.col("channels").alias("s_bmp_channels"),
+    )
+    out = meta
+    for d in (feats, rez, jm, jf, wav, gif, tif, bmp):
+        out = out.join(d, "doc_id")
+    return out
+
+
 def q_mm_png_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec end-to-end in ONE driver row: decode metadata +
     pixel features + nearest-neighbor resize (ops/png.py: zlib + all five
@@ -883,12 +959,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": q_resume_antijoin,
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
-        # -- multimodal (real codecs) -----------------------------------
-        "mm_png_ops": q_mm_png_ops,
-        "mm_sniff_meta": q_mm_sniff_meta,
-        "mm_wav_meta": q_mm_wav_meta,
-        "mm_gif_frames": q_mm_gif_frames,
+        # -- multimodal (ALL real codecs gate this one row) -------------
+        "mm_codecs": q_mm_codecs,
+        # -- relational checklist (window dedup + salted skew agg) ------
+        "dedup_latest": q_dedup_latest,
+        "salted_agg": q_salted_agg,
         # -- tail: value-redundant with an earlier entry ----------------
+        "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
+        "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
+        "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
+        "mm_gif_frames": q_mm_gif_frames,  # per-frame grain of mm_codecs
         "mm_png_meta": q_mm_png_meta,  # sub-row of mm_png_ops
         "mm_png_features": q_mm_png_features,  # sub-row of mm_png_ops
         "mm_png_resize": q_mm_png_resize,  # sub-row of mm_png_ops
@@ -897,9 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,  # step of lsh_dup_pairs
         "ivf_assign": q_ivf_assign,  # assignment step of ivf_search
         "doc_hash": q_doc_hash,  # sha256 also in fingerprint + extract
-        "dedup_latest": q_dedup_latest,  # same window op as job dedup
         "events_hourly": q_events_hourly,  # plain agg, cf. metrics_rollup
-        "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
         "mm_resize": q_mm_resize,  # fake-codec twin of mm_png_resize
@@ -1493,6 +1571,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(greatest((8 + doc_id % 16) // 2, 1) AS INTEGER) AS height,
                    CAST(doc_id % 251 AS DOUBLE) AS mean_px
             FROM documents
+        """,
+        "mm_codecs": """
+            -- PNG pixel law: px(x,y) = (doc_id + x) % 256 (rows identical)
+            -- JPEG pixel law: px(x,y) = (doc_id + 16 * (x // 8)) % 256
+            -- GIF: frames k=0,2,..; frame_px0 = (doc_id + k) % 256
+            SELECT d.doc_id,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS height,
+                   1 AS channels,
+                   (16 + d.doc_id % 32) * (8 + d.doc_id % 16) AS n_bytes,
+                   (SELECT avg((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS f_mean_px,
+                   CAST((SELECT min((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS f_min_px,
+                   CAST((SELECT max((d.doc_id + x.k) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS f_max_px,
+                   CAST(greatest((16 + d.doc_id % 32) // 2, 1) AS INTEGER)
+                       AS r_width,
+                   CAST(greatest((8 + d.doc_id % 16) // 2, 1) AS INTEGER)
+                       AS r_height,
+                   (SELECT avg((d.doc_id + 2 * x.k) % 256)
+                    FROM (SELECT unnest(range(0,
+                           greatest((16 + d.doc_id % 32) // 2, 1))) AS k) x
+                   ) AS r_mean_px,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS j_width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS j_height,
+                   (16 + d.doc_id % 32) * (8 + d.doc_id % 16) AS j_bytes,
+                   (SELECT avg((d.doc_id + 16 * (x.k // 8)) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS j_mean_px,
+                   CAST((SELECT min((d.doc_id + 16 * (x.k // 8)) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS j_min_px,
+                   CAST((SELECT max((d.doc_id + 16 * (x.k // 8)) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x
+                   ) AS INTEGER) AS j_max_px,
+                   CAST(8000 + (d.doc_id % 3) * 4000 AS INTEGER) AS rate,
+                   CAST(1000 + (d.doc_id % 97) * 100 AS INTEGER) AS n_samples,
+                   round((1000 + (d.doc_id % 97) * 100) * 1000.0
+                         / (8000 + (d.doc_id % 3) * 4000), 4) AS duration_ms,
+                   CAST((4 + d.doc_id % 12 + 1) // 2 AS INTEGER) AS g_frames,
+                   ((4 + d.doc_id % 12 + 1) // 2)
+                       * (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8)
+                       AS g_bytes,
+                   CAST(d.doc_id % 256 AS INTEGER) AS g_px0,
+                   CAST(1 + d.doc_id % 3 AS INTEGER) AS t_pages,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS t_width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS t_height,
+                   (SELECT avg((d.doc_id + x.k + y.j) % 256)
+                    FROM (SELECT unnest(range(0, 16 + d.doc_id % 32)) AS k) x,
+                         (SELECT unnest(range(0, 8 + d.doc_id % 16)) AS j) y
+                   ) AS t_mean0,
+                   round((SELECT sum(sub.pm) FROM (
+                      SELECT (SELECT avg((d.doc_id + x.k + y.j + 128 * pp.p)
+                                         % 256)
+                              FROM (SELECT unnest(range(0, 16 + d.doc_id % 32))
+                                    AS k) x,
+                                   (SELECT unnest(range(0, 8 + d.doc_id % 16))
+                                    AS j) y) AS pm
+                      FROM (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS p) pp
+                    ) sub), 6) AS t_mean_sum,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS s_bmp_width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS s_bmp_height,
+                   3 AS s_bmp_channels
+            FROM documents d
         """,
         "mm_png_ops": """
             SELECT d.doc_id,

@@ -95,6 +95,40 @@ def make_audio(doc_id: int) -> bytes:
     return b"FAUD" + struct.pack(">ii", rate, nsamples) + bytes([doc_id % 256]) * nsamples
 
 
+def make_jpeg(doc_id: int) -> bytes:
+    """REAL baseline JPEG (ops/jpeg.py encoder): grayscale, unit quant
+    tables, 8x8-block-constant pixels — the one configuration where JPEG
+    round-trips BIT-EXACTLY, so the decode oracle can predict every pixel:
+    px(x, y) = (doc_id + 16 * (x // 8)) % 256."""
+    from .jpeg import encode_gray
+
+    w, h, _c, _v = _img_params(doc_id)
+    px = bytes(
+        (doc_id + 16 * (x // 8)) % 256 for _y in range(h) for x in range(w)
+    )
+    return encode_gray(px, w, h)
+
+
+def make_tiff(doc_id: int) -> bytes:
+    """REAL multi-page TIFF (ops/tiff.py encoder): grayscale Deflate
+    strips with horizontal Predictor 2, n_pages = 1 + doc_id % 3,
+    page p pixel law px(x, y) = (doc_id + x + y + 128 * p) % 256 —
+    varies along BOTH axes so a wrong predictor undo shifts every row."""
+    from .tiff import encode_tiff_gray
+
+    w, h, _c, _v = _img_params(doc_id)
+    npages = 1 + doc_id % 3
+    pages = [
+        bytes(
+            (doc_id + x + y + 128 * p) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        for p in range(npages)
+    ]
+    return encode_tiff_gray(pages, w, h, compression="deflate", predictor=2)
+
+
 def make_jpeg_header(doc_id: int) -> bytes:
     """Minimal REAL JPEG container (SOI + JFIF APP0 + SOF0 + EOI): the
     frame header carries genuine dimensions/components, which is exactly
@@ -169,9 +203,10 @@ def parse_wav(blob: bytes):
 
 
 def _decode_real(blob: bytes):
-    """Real-codec seam. PNG (ops/png.py) and animated GIF (ops/gif.py)
-    are fully implemented stdlib codecs; JPEG-scan/ffmpeg formats still
-    raise until a codec exists in the environment."""
+    """Real-codec seam. PNG (ops/png.py), animated GIF (ops/gif.py) and
+    baseline JPEG (ops/jpeg.py) are fully implemented from-scratch
+    codecs; ffmpeg-class video/audio formats still raise until a codec
+    exists in the environment."""
     from .png import decode_png, is_png
 
     if is_png(blob):
@@ -181,7 +216,17 @@ def _decode_real(blob: bytes):
 
         w, h, frames, _gct = decode_gif(blob)
         return w, h, 1, frames[0] if frames else b""
-    raise NotImplementedError("only PNG/GIF have real codecs in this env")
+    if blob[:2] == b"\xff\xd8":
+        from .jpeg import decode as decode_jpeg
+
+        return decode_jpeg(blob)
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(blob, page=0)
+    raise NotImplementedError(
+        "only PNG/GIF/baseline-JPEG/TIFF have real codecs in this env"
+    )
 
 
 # ---------------------------------------------------------------- synthesis
@@ -205,6 +250,8 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "audio": [make_audio(i) for i in ids],
                     "wav": [make_wav(i) for i in ids],
                     "jpeg": [make_jpeg_header(i) for i in ids],
+                    "jpeg_full": [make_jpeg(i) for i in ids],
+                    "tiff": [make_tiff(i) for i in ids],
                     "gif": [make_gif_header(i) for i in ids],
                     "bmp": [make_bmp_header(i) for i in ids],
                 }
@@ -215,7 +262,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, image binary, png binary, video binary, "
             "gif_video binary, audio binary, wav binary, jpeg binary, "
-            "gif binary, bmp binary"
+            "jpeg_full binary, tiff binary, gif binary, bmp binary"
         ),
     )
 
@@ -227,20 +274,19 @@ def decode_image_meta(media: DataFrame, col: str = "image") -> DataFrame:
     ``n_bytes`` is the DECODED payload size either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .png import decode_png, is_png
-
         for b in batches:
             rows = []
             for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                if is_png(blob):
-                    w, h, c, payload = decode_png(blob)
-                    rows.append((int(doc_id), w, h, c, len(payload)))
-                elif blob[:4] == b"FIMG":
+                if blob[:4] == b"FIMG":
                     w, h, c = struct.unpack(">iiB", blob[4:13])
                     rows.append((int(doc_id), w, h, c, len(blob) - 13))
                 else:
-                    rows.append((int(doc_id), None, None, None, None))
+                    try:
+                        w, h, c, payload = _decode_real(blob)
+                        rows.append((int(doc_id), w, h, c, len(payload)))
+                    except Exception:
+                        rows.append((int(doc_id), None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "channels", "n_bytes"]
             )
@@ -257,16 +303,14 @@ def image_features(media: DataFrame, col: str = "image") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from .png import decode_png, is_png
-
         for b in batches:
             rows = []
             for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                if is_png(blob):
-                    _w, _h, _c, payload = decode_png(blob)
-                else:
+                if blob[:4] == b"FIMG":
                     payload = blob[13:]
+                else:
+                    _w, _h, _c, payload = _decode_real(blob)
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 rows.append(
                     (int(doc_id), float(arr.mean()), int(arr.min()), int(arr.max()))
@@ -359,6 +403,47 @@ def sample_frames(
 
     return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes long, first_px int"
+    )
+
+
+def tiff_pages(media: DataFrame, col: str = "tiff") -> DataFrame:
+    """Multi-page TIFF fan-out: one row per decoded page (the multimodal
+    analog of the reference's page-per-image conversion loop) with the
+    page's pixel mean — every value rides through ops/tiff.py strip
+    decode + predictor undo."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .tiff import decode_tiff, tiff_meta
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                blob = bytes(blob)
+                try:
+                    n_pages, _w, _h, _spp = tiff_meta(blob)
+                except ValueError:
+                    continue
+                for p in range(n_pages):
+                    w, h, c, px = decode_tiff(blob, page=p)
+                    arr = np.frombuffer(px, dtype=np.uint8)
+                    rows.append(
+                        (int(doc_id), p, w, h, c, float(arr.mean()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "page", "width", "height", "channels", "mean_px",
+                ],
+            )
+
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, page int, width int, height int, channels int, "
+            "mean_px double"
+        ),
     )
 
 

@@ -206,6 +206,7 @@ def image_meta(blob: bytes):
     - JPEG: marker walk to the first SOF0..SOF15 frame header
     - GIF87a/89a: logical screen descriptor
     - BMP: BITMAPINFOHEADER
+    - TIFF: first-page IFD (full strip decode in ops/tiff.py)
 
     Raises ValueError for anything else."""
     if is_png(blob):
@@ -246,4 +247,9 @@ def image_meta(blob: bytes):
             (bpp,) = struct.unpack("<H", blob[28:30])
             return ("bmp", abs(w), abs(h), max(1, bpp // 8))
         raise ValueError("unsupported BMP header")
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import tiff_meta
+
+        _n, w, h, spp = tiff_meta(blob)
+        return ("tiff", w, h, spp)
     raise ValueError("unknown image container")

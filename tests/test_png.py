@@ -127,8 +127,12 @@ def test_decode_real_seam_png_vs_other():
 
     w, h, c, payload = _decode_real(make_png(5))
     assert c == 1 and len(payload) == w * h
-    with pytest.raises(NotImplementedError):
+    # JPEG now has a real codec (ops/jpeg.py); a header-only blob is a
+    # malformed stream, not an unimplemented format
+    with pytest.raises(ValueError):
         _decode_real(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(NotImplementedError):
+        _decode_real(b"\x00no-such-format")
 
 
 def test_image_meta_jpeg_marker_walk():
