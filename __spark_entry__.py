@@ -368,6 +368,54 @@ def q_pdf_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_pictures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-image regions from the PDF content stream: /Image XObject
+    placements mapped through the CTM (pdfx/content.py Do handler) — the
+    deterministic analog of the reference's PictureItem clusters (on the
+    reference's own picture_classification.pdf these bboxes land within a
+    few points of its NN-layout groundtruth; tests/test_pdf_pictures.py
+    pins IoU > 0.9). Corpus PDFs embed REAL baseline-JPEG (/DCTDecode)
+    and /FlateDecode gray rasters."""
+    import pandas as pd
+
+    from docling_spark.ops.corpus import synth_pages_pdf_images
+    from docling_spark.pdfx.extract import extract_pdf_text
+
+    pages = synth_pages_pdf_images(spark, sf_dir)
+
+    def run(batches):
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b["html"]):
+                r = extract_pdf_text(bytes(blob), with_pictures=True)
+                for k, p in enumerate(r.pictures or []):
+                    x0, y0, x1, y1 = p["bbox"]
+                    rows.append(
+                        (
+                            int(doc_id), k, p["page"],
+                            float(x0), float(y0), float(x1), float(y1),
+                            p["width"], p["height"],
+                            (p["filters"] or [None])[0],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "pic_idx", "page", "x0", "y0", "x1", "y1",
+                    "px_width", "px_height", "filter",
+                ],
+            )
+
+    return pages.select("doc_id", "html").mapInPandas(
+        run,
+        schema=(
+            "doc_id long, pic_idx int, page int, x0 double, y0 double, "
+            "x1 double, y1 double, px_width int, px_height int, "
+            "filter string"
+        ),
+    )
+
+
 def q_pdf_struct_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full PDF structural labeler: heading hierarchy (18pt→L1, 14pt→L2),
     bullet list items with markers, a 2×2 grid-detected TableItem, and the
@@ -928,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "pdf_spans": q_pdf_spans,
         "pdf_struct_spans": q_pdf_struct_spans,
+        "pdf_pictures": q_pdf_pictures,
         "pdf_chunks": q_pdf_chunks,
         # -- conversion backends ----------------------------------------
         "md_extract": q_md_extract,
@@ -961,10 +1010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         # -- multimodal (ALL real codecs gate this one row) -------------
         "mm_codecs": q_mm_codecs,
-        # -- relational checklist (window dedup + salted skew agg) ------
+        # -- relational checklist (window dedup) ------------------------
         "dedup_latest": q_dedup_latest,
-        "salted_agg": q_salted_agg,
         # -- tail: value-redundant with an earlier entry ----------------
+        "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1320,6 +1369,25 @@ def oracle_sql() -> dict[str, str]:
                    {SYNTH_MD_SQL} AS extracted_text,
                    sha256({synth_html}) AS doc_hash
             FROM documents
+        """,
+        "pdf_pictures": """
+            -- image k of doc: placed at (72+20k, 100+30k), display size
+            -- (100+10k, 50+5k), pixel dims (8*(1+(doc_id+k)%4), 8),
+            -- alternating DCTDecode (real JPEG) / FlateDecode
+            SELECT d.doc_id,
+                   CAST(k.k AS INTEGER) AS pic_idx,
+                   1 AS page,
+                   CAST(72 + 20 * k.k AS DOUBLE) AS x0,
+                   CAST(100 + 30 * k.k AS DOUBLE) AS y0,
+                   CAST(172 + 30 * k.k AS DOUBLE) AS x1,
+                   CAST(150 + 35 * k.k AS DOUBLE) AS y1,
+                   CAST(8 * (1 + (d.doc_id + k.k) % 4) AS INTEGER)
+                       AS px_width,
+                   8 AS px_height,
+                   CASE WHEN k.k % 2 = 0 THEN 'DCTDecode'
+                        ELSE 'FlateDecode' END AS filter
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, 1 + d.doc_id % 3)) AS k) k
         """,
         "pdf_spans": """
             SELECT 'https://synth.test/doc/' || doc_id || '.pdf' AS url,

@@ -164,6 +164,101 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_pdf_images_bytes(doc_id: int) -> bytes:
+    """One-page PDF with a text block plus ``1 + doc_id % 3`` REAL image
+    XObjects (alternating /DCTDecode — genuine baseline JPEG from
+    ops/jpeg.encode_gray — and /FlateDecode gray rasters), each placed
+    through an explicit CTM. Deterministic laws (image k):
+
+    - pixel dims: w_px = 8 * (1 + (doc_id + k) % 4), h_px = 8
+    - placement:  x = 72 + 20*k, y = 100 + 30*k
+    - display:    w_pts = 100 + 10*k, h_pts = 50 + 5*k
+    - filter:     DCTDecode if k even else FlateDecode
+
+    so the pdf_pictures oracle predicts every output column from doc_id."""
+    import zlib as _zlib
+
+    from .jpeg import encode_gray
+
+    n_imgs = 1 + doc_id % 3
+    ops = [f"BT /F1 18 Tf 72 720 Td (Document {doc_id}) Tj ET"]
+    img_objs = []
+    for k in range(n_imgs):
+        w_px, h_px = 8 * (1 + (doc_id + k) % 4), 8
+        px = bytes((doc_id + 16 * (x // 8)) % 256 for _y in range(h_px) for x in range(w_px))
+        if k % 2 == 0:
+            data, flt = encode_gray(px, w_px, h_px), "DCTDecode"
+        else:
+            data, flt = _zlib.compress(px), "FlateDecode"
+        img_objs.append(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /%s "
+            b"/Length %d >>\nstream\n%s\nendstream"
+            % (w_px, h_px, flt.encode(), len(data), data)
+        )
+        ops.append(
+            f"q {100 + 10 * k} 0 0 {50 + 5 * k} {72 + 20 * k} {100 + 30 * k} cm "
+            f"/Im{k} Do Q"
+        )
+    content = "\n".join(ops).encode("ascii")
+    xobj_refs = " ".join(
+        f"/Im{k} {6 + k} 0 R" for k in range(n_imgs)
+    ).encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 4 0 R >> /XObject << " + xobj_refs
+        + b" >> >> /Contents 5 0 R >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        *img_objs,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+def synth_pages_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → PDFs carrying real embedded images."""
+    import pandas as pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    par = spark.sparkContext.defaultParallelism
+    if len(docs.inputFiles()) < par:
+        docs = docs.repartition(par * 4, F.col("doc_id"))
+
+    def build(batches):
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "url": [
+                        f"https://synth.test/doc/{i}.pdf" for i in b["doc_id"]
+                    ],
+                    "doc_id": b["doc_id"],
+                    "html": [
+                        synth_pdf_images_bytes(int(i)) for i in b["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(
+        build, schema="url string, doc_id long, html binary"
+    )
+
+
 def invoice_text(doc_id: int) -> str:
     """Deterministic invoice-style body for the structured-extraction
     template oracle (all fields derivable from doc_id in SQL)."""

@@ -99,6 +99,11 @@ class TextInterpreter:
         self.page = page
         self.doc = page.doc
         self.runs: list[Run] = []
+        # image-XObject placements: the deterministic analog of the
+        # reference's PictureItem clusters (its layout NN groups picture
+        # regions; a digital-born PDF already declares them as /Image
+        # XObjects placed through the CTM)
+        self.pictures: list[dict] = []
 
     def run(self) -> list[Run]:
         res = self.page.resources()
@@ -259,13 +264,41 @@ class TextInterpreter:
                     tj_array(operands[-1])
                 elif op == "Do" and operands:
                     xo = doc.resolve(xobjs.get(str(operands[-1])))
-                    if isinstance(xo, Stream) and str(
-                        doc.resolve(xo.dict.get("Subtype"))
-                    ) == "Form":
+                    subtype = (
+                        str(doc.resolve(xo.dict.get("Subtype")))
+                        if isinstance(xo, Stream)
+                        else ""
+                    )
+                    if subtype == "Form":
                         sub_res = doc.resolve(xo.dict.get("Resources")) or resources
                         fm = doc.resolve(xo.dict.get("Matrix")) or [1, 0, 0, 1, 0, 0]
                         fmat = tuple(float(doc.resolve(v)) for v in fm)
                         self._exec(xo.data(), sub_res, mmul(fmat, ctm), depth + 1)
+                    elif subtype == "Image":
+                        # image space is the unit square; its CTM image is
+                        # the placed bbox (PDF 32000 8.9.4)
+                        a, b, c, d, e, f = ctm
+                        xs = [e, a + e, c + e, a + c + e]
+                        ys = [f, b + f, d + f, b + d + f]
+                        flt = doc.resolve(xo.dict.get("Filter"))
+                        if isinstance(flt, list):
+                            flt = [str(doc.resolve(v)) for v in flt]
+                        elif flt is not None:
+                            flt = [str(flt)]
+                        self.pictures.append(
+                            {
+                                "bbox": (
+                                    min(xs), min(ys), max(xs), max(ys),
+                                ),
+                                "width": int(
+                                    doc.resolve(xo.dict.get("Width", 0)) or 0
+                                ),
+                                "height": int(
+                                    doc.resolve(xo.dict.get("Height", 0)) or 0
+                                ),
+                                "filters": flt or [],
+                            }
+                        )
             except Exception:
                 pass
             operands = []

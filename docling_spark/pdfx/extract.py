@@ -20,6 +20,7 @@ class PdfResult:
     spans: Optional[list] = None  # structured labeled spans (with_structure)
     page_texts: Optional[list] = None  # per-page text (with_page_texts)
     span_doc = None  # SpanDoc (with_structure + with_span_doc)
+    pictures: Optional[list] = None  # image-XObject placements (with_pictures)
 
 
 def extract_pdf_text(
@@ -31,6 +32,7 @@ def extract_pdf_text(
     max_num_pages: Optional[int] = None,
     with_page_texts: bool = False,
     with_span_doc: bool = False,
+    with_pictures: bool = False,
 ) -> PdfResult:
     """bytes → reading-ordered text. Never raises.
 
@@ -79,6 +81,7 @@ def extract_pdf_text(
         pages_meta = []
         pages_cells = []
         pages_sizes = []
+        pictures = [] if with_pictures else None
         timed_out = False
         for page_no, page in enumerate(all_pages, start=1):
             if not (start_page <= page_no <= end_page):
@@ -87,6 +90,9 @@ def extract_pdf_text(
                 timed_out = True
                 break
             cells = page.text_cells()
+            if with_pictures:
+                for pic in page.pictures():
+                    pictures.append({"page": page_no, **pic})
             pages_meta.append(len(cells))
             if not cells:
                 needs_ocr_pages += 1
@@ -112,7 +118,11 @@ def extract_pdf_text(
         if not pages_meta:
             return PdfResult(status="failure", error="no pages found")
         if needs_ocr_pages == len(pages_meta):
-            return PdfResult(status="needs_ocr", text="", pages=pages_meta)
+            # image-only (scanned) PDFs still carry their picture regions
+            return PdfResult(
+                status="needs_ocr", text="", pages=pages_meta,
+                pictures=pictures,
+            )
         status = "partial_success" if needs_ocr_pages else "success"
         spans = None
         span_doc = None
@@ -133,6 +143,7 @@ def extract_pdf_text(
             pages=pages_meta,
             spans=spans,
             page_texts=page_texts if with_page_texts else None,
+            pictures=pictures,
         )
         res.span_doc = span_doc
         return res

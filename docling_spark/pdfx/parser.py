@@ -731,18 +731,36 @@ class PdfPage:
         r = self.doc.resolve(self.dict.get("Resources"))
         return r if isinstance(r, dict) else {}
 
+    def _interp(self):
+        """One content-stream execution per page, shared by text_cells()
+        and pictures() so requesting both costs a single pass."""
+        if not hasattr(self, "_interp_cache"):
+            from .content import TextInterpreter
+
+            it = TextInterpreter(self)
+            it.run()
+            self._interp_cache = it
+        return self._interp_cache
+
     def text_cells(self) -> list:
         """Runs → merged text cells in reading order (see layout.py).
 
         /Rotate is normalized here: the run extractor composes a base CTM
         that maps content coordinates into an upright page, so line grouping
         and XY-cut always see reading-orientation geometry."""
-        from .content import extract_runs
         from .layout import runs_to_cells
 
-        runs = extract_runs(self)
+        runs = self._interp().runs
         x0, y0, x1, y1 = self.mediabox()
         w, h = x1 - x0, y1 - y0
         if self.rotation() in (90, 270):
             h = w
         return runs_to_cells(runs, page_height=h)
+
+    def pictures(self) -> list:
+        """Placed image-XObject regions (bbox in upright page coords,
+        pixel dims, filter chain) — the deterministic analog of the
+        reference's PictureItem clusters (its layout NN groups picture
+        regions; docling/backend/docling_parse_v4_backend.py renders them
+        for the picture-description models, which are out of contract)."""
+        return self._interp().pictures
