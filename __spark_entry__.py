@@ -622,6 +622,12 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_px").alias("j_max_px"),
     )
     wav = mm.audio_meta(media, col="wav")
+    wavf = mm.audio_features(media, col="wav").select(
+        "doc_id",
+        F.col("mean_amp").alias("a_mean"),
+        F.col("peak").alias("a_peak"),
+        F.col("rms").alias("a_rms"),
+    )
     gif = (
         mm.sample_frames(media, every_k=2, col="gif_video")
         .groupBy("doc_id")
@@ -652,8 +658,14 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("s_bmp_height"),
         F.col("channels").alias("s_bmp_channels"),
     )
+    webp = mm.sniff_image_meta(media, col="webp").select(
+        "doc_id",
+        F.col("width").alias("s_webp_width"),
+        F.col("height").alias("s_webp_height"),
+        F.col("channels").alias("s_webp_channels"),
+    )
     out = meta
-    for d in (feats, rez, jm, jf, wav, gif, tif, bmp):
+    for d in (feats, rez, jm, jf, wav, wavf, gif, tif, bmp, webp):
         out = out.join(d, "doc_id")
     return out
 
@@ -763,6 +775,28 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = synth_pages(spark, sf_dir, variants=2)
     return curate(extract_pages(pages, base_uri_mode="none"))
+
+
+def _webtext_oracle_sql() -> str:
+    from docling_spark.ops.webtext import SIGNALS_ORACLE_SQL
+
+    return SIGNALS_ORACLE_SQL
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality gate (ops/webtext.py): duplicate-line
+    fractions, top-bigram character coverage, bullet/ellipsis ratios,
+    symbol-to-word ratio, alpha-word fraction, mean word length — all in-row
+    JVM higher-order functions, zero shuffles — plus the published-threshold
+    first-failing-rule keep/reject with reason codes (Rae et al. 2112.11446
+    A1.1; the filter stage the reference stops short of)."""
+    from docling_spark.ops.webtext import (
+        gopher_filter,
+        repetition_signals,
+        synth_webtext,
+    )
+
+    return gopher_filter(repetition_signals(synth_webtext(spark, sf_dir)))
 
 
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,7 +994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline": q_extract_pipeline,
         "pdf_extract": q_pdf_extract,
         "pdf_encrypted": q_pdf_encrypted,
-        "structured_extract": q_structured_extract,
         "structured_fields": q_structured_fields,
         "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
@@ -990,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_bpe": q_chunk_pack_bpe,
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
         "curate": q_curate,
+        "gopher_quality": q_gopher_quality,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1014,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_latest": q_dedup_latest,
         # -- tail: value-redundant with an earlier entry ----------------
         "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
+        "structured_extract": q_structured_extract,  # shape slice of structured_fields
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1682,6 +1717,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1000 + (d.doc_id % 97) * 100 AS INTEGER) AS n_samples,
                    round((1000 + (d.doc_id % 97) * 100) * 1000.0
                          / (8000 + (d.doc_id % 3) * 4000), 4) AS duration_ms,
+                   -- PCM16 sample law: s_i = ((doc_id*7 + i) % 2001) - 1000
+                   (SELECT avg(((d.doc_id * 7 + i.i) % 2001) - 1000)
+                    FROM (SELECT unnest(range(0,
+                           1000 + (d.doc_id % 97) * 100)) AS i) i
+                   ) AS a_mean,
+                   CAST((SELECT max(abs(((d.doc_id * 7 + i.i) % 2001) - 1000))
+                    FROM (SELECT unnest(range(0,
+                           1000 + (d.doc_id % 97) * 100)) AS i) i
+                   ) AS INTEGER) AS a_peak,
+                   round((SELECT sqrt(avg(
+                           (((d.doc_id * 7 + i.i) % 2001) - 1000)
+                           * (((d.doc_id * 7 + i.i) % 2001) - 1000)))
+                    FROM (SELECT unnest(range(0,
+                           1000 + (d.doc_id % 97) * 100)) AS i) i
+                   ), 6) AS a_rms,
                    CAST((4 + d.doc_id % 12 + 1) // 2 AS INTEGER) AS g_frames,
                    ((4 + d.doc_id % 12 + 1) // 2)
                        * (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8)
@@ -1705,7 +1755,10 @@ def oracle_sql() -> dict[str, str]:
                     ) sub), 6) AS t_mean_sum,
                    CAST(16 + d.doc_id % 32 AS INTEGER) AS s_bmp_width,
                    CAST(8 + d.doc_id % 16 AS INTEGER) AS s_bmp_height,
-                   3 AS s_bmp_channels
+                   3 AS s_bmp_channels,
+                   CAST(16 + d.doc_id % 32 AS INTEGER) AS s_webp_width,
+                   CAST(8 + d.doc_id % 16 AS INTEGER) AS s_webp_height,
+                   CAST(3 + d.doc_id % 2 AS INTEGER) AS s_webp_channels
             FROM documents d
         """,
         "mm_png_ops": """
@@ -1837,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_tokens AS INTEGER) AS n_tokens
             FROM t
         """,
+        "gopher_quality": _webtext_oracle_sql(),
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,

@@ -155,6 +155,18 @@ def make_bmp_header(doc_id: int) -> bytes:
     return b"BM" + struct.pack("<IHHI", 54, 0, 0, 54) + info
 
 
+def make_webp_header(doc_id: int) -> bytes:
+    """Minimal REAL WebP container (RIFF + VP8L chunk): the lossless
+    signature byte plus the LSB-first packed 14-bit dims and alpha flag —
+    genuine header-level metadata without a VP8 entropy codec.
+    alpha (→ 4 channels) iff doc_id is odd."""
+    w, h, _c, _v = _img_params(doc_id)
+    bits = (w - 1) | ((h - 1) << 14) | ((doc_id % 2) << 28)
+    payload = b"\x2f" + bits.to_bytes(4, "little")
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def make_wav(doc_id: int) -> bytes:
     """REAL RIFF/WAVE container (PCM16 mono): canonical 44-byte header +
     deterministic ramp samples — no codec library involved, WAV headers are
@@ -254,6 +266,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "tiff": [make_tiff(i) for i in ids],
                     "gif": [make_gif_header(i) for i in ids],
                     "bmp": [make_bmp_header(i) for i in ids],
+                    "webp": [make_webp_header(i) for i in ids],
                 }
             )
 
@@ -262,7 +275,8 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, image binary, png binary, video binary, "
             "gif_video binary, audio binary, wav binary, jpeg binary, "
-            "jpeg_full binary, tiff binary, gif binary, bmp binary"
+            "jpeg_full binary, tiff binary, gif binary, bmp binary, "
+            "webp binary"
         ),
     )
 
@@ -403,6 +417,52 @@ def sample_frames(
 
     return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, frame_idx int, frame_bytes long, first_px int"
+    )
+
+
+def audio_features(media: DataFrame, col: str = "wav") -> DataFrame:
+    """PCM16 sample statistics over genuinely decoded RIFF/WAVE payloads
+    (the audio feature-extract stage): signed mean, absolute peak, RMS —
+    all numpy-vectorized over the Arrow batch, never per-sample Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                blob = bytes(blob)
+                _rate, _ch, bits, n = parse_wav(blob)
+                if bits != 16:
+                    rows.append((int(doc_id), None, None, None))
+                    continue
+                # chunk walk for the data payload offset (a bare rfind
+                # could match b"data" inside the sample bytes)
+                pos, data_at = 12, None
+                while pos + 8 <= len(blob):
+                    (size,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+                    if blob[pos : pos + 4] == b"data":
+                        data_at = pos + 8
+                        break
+                    pos += 8 + size + (size & 1)
+                samples = np.frombuffer(
+                    blob, dtype="<i2", offset=data_at, count=n
+                ).astype(np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        float(samples.mean()),
+                        int(np.abs(samples).max()),
+                        round(float(np.sqrt((samples**2).mean())), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mean_amp", "peak", "rms"]
+            )
+
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema="doc_id long, mean_amp double, peak int, rms double",
     )
 
 

@@ -207,6 +207,7 @@ def image_meta(blob: bytes):
     - GIF87a/89a: logical screen descriptor
     - BMP: BITMAPINFOHEADER
     - TIFF: first-page IFD (full strip decode in ops/tiff.py)
+    - WebP: RIFF VP8 /VP8L/VP8X headers (incl. the VP8L packed-bit dims)
 
     Raises ValueError for anything else."""
     if is_png(blob):
@@ -252,4 +253,21 @@ def image_meta(blob: bytes):
 
         _n, w, h, spp = tiff_meta(blob)
         return ("tiff", w, h, spp)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        fourcc = blob[12:16]
+        if fourcc == b"VP8X":  # extended: 24-bit (dim - 1) fields
+            w = 1 + int.from_bytes(blob[24:27], "little")
+            h = 1 + int.from_bytes(blob[27:30], "little")
+            return ("webp", w, h, 4 if blob[20] & 0x10 else 3)
+        if fourcc == b"VP8L" and blob[20] == 0x2F:
+            # lossless: LSB-first 14-bit dims-1, then the alpha bit
+            b0, b1, b2, b3 = blob[21:25]
+            w = 1 + (b0 | ((b1 & 0x3F) << 8))
+            h = 1 + ((b1 >> 6) | (b2 << 2) | ((b3 & 0x0F) << 10))
+            return ("webp", w, h, 4 if b3 & 0x10 else 3)
+        if fourcc == b"VP8 " and blob[23:26] == b"\x9d\x01\x2a":
+            w = int.from_bytes(blob[26:28], "little") & 0x3FFF
+            h = int.from_bytes(blob[28:30], "little") & 0x3FFF
+            return ("webp", w, h, 3)
+        raise ValueError("unsupported WebP variant")
     raise ValueError("unknown image container")

@@ -187,3 +187,31 @@ def test_palette_index_out_of_range_raises():
     )
     with pytest.raises(ValueError, match="palette index"):
         decode_png(blob)
+
+
+def test_image_meta_webp_variants():
+    """WebP header sniff: VP8L packed-bit dims + alpha, VP8X extended
+    24-bit dims, VP8 lossy keyframe dims; junk fourth chunk rejected."""
+    import struct
+
+    from docling_spark.ops.multimodal import _img_params, make_webp_header
+    from docling_spark.ops.png import image_meta
+
+    for d in (0, 1, 5, 17, 31):
+        w, h, _c, _v = _img_params(d)
+        assert image_meta(make_webp_header(d)) == ("webp", w, h, 3 + d % 2)
+    vp8x = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8X"
+        + struct.pack("<I", 10) + bytes([0x10, 0, 0, 0])
+        + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    )
+    assert image_meta(vp8x) == ("webp", 100, 50, 4)
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 12) + b"\x00" * 3 + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 640, 480)
+    )
+    assert image_meta(vp8) == ("webp", 640, 480, 3)
+    bad = b"RIFF" + struct.pack("<I", 12) + b"WEBP" + b"JUNK" + b"\x00" * 8
+    with pytest.raises(ValueError):
+        image_meta(bad)

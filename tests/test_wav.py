@@ -50,3 +50,36 @@ def test_odd_sized_chunk_word_alignment():
 def test_garbage_rejected(blob):
     with pytest.raises(ValueError):
         parse_wav(blob)
+
+
+def test_audio_features_law():
+    """audio_features' per-blob math (mean/peak/RMS over the PCM16
+    payload) matches a direct stdlib computation of the sample law
+    s_i = ((doc_id*7 + i) % 2001) - 1000 — including the chunk walk that
+    must not be fooled by b"data" occurring inside sample bytes."""
+    import math
+
+    import pandas as pd
+
+    from docling_spark.ops.multimodal import audio_features
+
+    run = None
+
+    class _Fake:
+        def select(self, *cols):
+            return self
+
+        def mapInPandas(self, fn, schema):
+            nonlocal run
+            run = fn
+            return self
+
+    audio_features(_Fake(), col="wav")
+    for doc_id in (0, 7, 17, 96):
+        blob = make_wav(doc_id)
+        out = next(run(iter([pd.DataFrame({"doc_id": [doc_id], "wav": [blob]})])))
+        _rate, n = _aud_params(doc_id)
+        s = [((doc_id * 7 + i) % 2001) - 1000 for i in range(n)]
+        assert out.loc[0, "mean_amp"] == sum(s) / n
+        assert out.loc[0, "peak"] == max(abs(v) for v in s)
+        assert out.loc[0, "rms"] == round(math.sqrt(sum(v * v for v in s) / n), 6)
