@@ -784,12 +784,15 @@ def _webtext_oracle_sql() -> str:
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition/quality gate (ops/webtext.py): duplicate-line
-    fractions, top-bigram character coverage, bullet/ellipsis ratios,
-    symbol-to-word ratio, alpha-word fraction, mean word length — all in-row
-    JVM higher-order functions, zero shuffles — plus the published-threshold
-    first-failing-rule keep/reject with reason codes (Rae et al. 2112.11446
-    A1.1; the filter stage the reference stops short of)."""
+    """The COMPLETE Gopher repetition/quality gate (ops/webtext.py):
+    duplicate line+paragraph fractions and char fractions, top-{2,3,4}-gram
+    coverage, dup-{5..10}-gram char fractions, bullet/ellipsis ratios,
+    symbol ratio, alpha fraction, mean word length, stop-word gate and
+    word-count bounds — all in-row JVM higher-order functions, zero
+    shuffles — plus the published-threshold first-failing-rule keep/reject
+    with reason codes (Rae et al. 2112.11446 A1.1; the filter stage the
+    reference stops short of). Every rule family is observable on the
+    synthetic corpus and every signal column is value-checked."""
     from docling_spark.ops.webtext import (
         gopher_filter,
         repetition_signals,

@@ -67,6 +67,32 @@ def test_non_alpha_and_word_len(spark):
     assert r.mean_word_len == round(13 / 4, 4)
 
 
+def test_paragraph_and_ngram_signals(spark):
+    # 3 paragraphs, the 3rd repeats the 1st; a 5-word phrase repeats
+    # across two otherwise-distinct lines of the middle paragraph
+    p1 = "the quick brown fox jumps"
+    p2 = "one two three four five six\nzz one two three four five yy"
+    text = f"{p1}\n\n{p2}\n\n{p1}"
+    r = _signals_of(spark, text)
+    assert r.n_paras == 3
+    assert r.n_lines == 4
+    assert r.dup_para_frac == round(1 - 2 / 3, 4)
+    # repeated para chars = len(p1); para chars include p2's inner newline
+    assert r.dup_para_char_frac == round(len(p1) / (2 * len(p1) + len(p2)), 4)
+    # repeated 5-grams: "the quick brown fox jumps" (2x, 21 word-chars)
+    # and "one two three four five" (2x, 19 word-chars)
+    words = text.replace("\n", " ").split(" ")
+    words = [w for w in words if w]
+    wc = sum(len(w) for w in words)
+    assert r.dup_5gram_char_frac == round((2 * 21 + 2 * 19) / wc, 4)
+    assert r.stop_word_hits == 2  # "the" twice
+
+
+def test_stop_word_hits_counts_occurrences(spark):
+    r = _signals_of(spark, "the cat and the dog with a hat")
+    assert r.stop_word_hits == 4  # the, and, the, with
+
+
 def test_first_failing_rule_attribution(spark):
     # bullet-saturated doc: fails bullets AND dup_lines; bullets wins
     df = spark.createDataFrame(
@@ -78,8 +104,11 @@ def test_first_failing_rule_attribution(spark):
 
 
 def test_all_reason_codes_observable(spark):
-    """The synthetic corpus law exercises keep + every reject code."""
-    out = gopher_filter(repetition_signals(synth_webtext(spark, SF)))
+    """The synthetic corpus law exercises keep + every reject code
+    (needs the 500-doc corpus: the rarer classes are ~doc_id % 29/31)."""
+    out = gopher_filter(
+        repetition_signals(synth_webtext(spark, "/root/testdata/sf0.01"))
+    )
     seen = {r.reject_reason for r in out.select("reject_reason").collect()}
     expected = {code for _, _, _, code in GOPHER_RULES} | {"keep"}
     assert seen == expected
