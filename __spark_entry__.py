@@ -783,6 +783,33 @@ def _webtext_oracle_sql() -> str:
     return SIGNALS_ORACLE_SQL
 
 
+def _c4_oracle(kind: str) -> str:
+    from docling_spark.ops.c4 import clean_oracle_sql, span_oracle_sql
+    from docling_spark.ops.webtext import WEBTEXT_CTE_SQL
+
+    fn = clean_oracle_sql if kind == "clean" else span_oracle_sql
+    return fn(WEBTEXT_CTE_SQL)
+
+
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (ops/c4.py, Raffel et al. 1910.10683 §2.2): terminal
+    punctuation / min-words / javascript line filters, lorem-ipsum /
+    brace / sentence-count page gates — in-row JVM, zero shuffles."""
+    from docling_spark.ops.c4 import c4_clean
+    from docling_spark.ops.webtext import synth_webtext
+
+    return c4_clean(synth_webtext(spark, sf_dir))
+
+
+def q_c4_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span dedup: in-row span hashing + one global
+    hash exchange for the first-occurrence flag."""
+    from docling_spark.ops.c4 import c4_span_dedup
+    from docling_spark.ops.webtext import synth_webtext
+
+    return c4_span_dedup(synth_webtext(spark, sf_dir))
+
+
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE Gopher repetition/quality gate (ops/webtext.py):
     duplicate line+paragraph fractions and char fractions, top-{2,3,4}-gram
@@ -1003,14 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_dispatch": q_format_dispatch,
         "csv_extract": q_csv_extract,
         "size_limits": q_size_limits,
-        "spans_export": q_spans_export,
         "span_offsets": q_span_offsets,
         "chunk_spans": q_chunk_spans,
         "doc_json": q_doc_json,
         "doctags_export": q_doctags_export,
         "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
-        "pdf_spans": q_pdf_spans,
         "pdf_struct_spans": q_pdf_struct_spans,
         "pdf_pictures": q_pdf_pictures,
         "pdf_chunks": q_pdf_chunks,
@@ -1027,6 +1052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
         "curate": q_curate,
         "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
+        "c4_span_dedup": q_c4_span_dedup,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1052,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: value-redundant with an earlier entry ----------------
         "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
         "structured_extract": q_structured_extract,  # shape slice of structured_fields
+        "spans_export": q_spans_export,  # relational grain of doc_json (25/25 golden)
+        "pdf_spans": q_pdf_spans,  # span grain of pdf_struct_spans + pdf_extract
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1894,6 +1923,8 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
         "gopher_quality": _webtext_oracle_sql(),
+        "c4_clean": _c4_oracle("clean"),
+        "c4_span_dedup": _c4_oracle("span"),
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,

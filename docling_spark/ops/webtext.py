@@ -63,7 +63,15 @@ def _word(doc_id: Column, src: Column, j: Column) -> Column:
     otherwise a 16-word vocabulary walk."""
     pair_idx = (doc_id * 7 + src * 11 + j * 5) % 256
     return (
-        F.when(
+        # C4-trigger word swaps (ops/c4.py): a "javascript" word on every
+        # third line (%37), a "lorem ipsum" bigram on line 1 (%41), and a
+        # "{" token on line 2 (%43) — tiny classes, no overlap with the
+        # numeric/alternating classes below at test scale
+        F.when((doc_id % 37 == 0) & (src % 3 == 1) & (j == 2), F.lit("javascript"))
+        .when((doc_id % 41 == 0) & (src == 1) & (j == 2), F.lit("lorem"))
+        .when((doc_id % 41 == 0) & (src == 1) & (j == 3), F.lit("ipsum"))
+        .when((doc_id % 43 == 0) & (src == 2) & (j == 1), F.lit("{"))
+        .when(
             doc_id % 46 == 0,
             ((doc_id + src * 3 + j * 7) % 90 + 10).cast("string"),
         )
@@ -109,9 +117,12 @@ def _line(doc_id: Column, src: Column) -> Column:
     bullet = F.when(
         (doc_id % 13 == 0) | ((doc_id + src * 2) % 5 == 0), F.lit("- ")
     ).otherwise("")
+    # terminal punctuation law: ellipsis lines keep "..."; of the rest,
+    # 3 in 4 end with a period (C4's terminal-punct line filter needs
+    # both kinds observable), the remainder end bare
     ellipsis = F.when(
         (doc_id % 17 == 0) | ((doc_id * 3 + src) % 7 == 0), F.lit("...")
-    ).otherwise("")
+    ).otherwise(F.when((doc_id + src * 3) % 4 != 0, F.lit(".")).otherwise(""))
     return F.concat(bullet, F.array_join(words, " "), ellipsis)
 
 
@@ -134,7 +145,15 @@ def synth_webtext(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_lines = F.lit(6) + d % 9
 
     def line_at(i: Column) -> Column:
-        i2 = F.when((d % 11 == 0) & (i >= 3), i % 3).otherwise(i)
+        # %11: every paragraph repeats paragraph 0 (dup_paras);
+        # %59: ONLY paragraph 1 repeats paragraph 0 — one big duplicated
+        # paragraph among >= 4 stays under the dup_para_frac threshold so
+        # the dup_para_CHAR_frac rule is the first to fire
+        i2 = (
+            F.when((d % 11 == 0) & (i >= 3), i % 3)
+            .when((d % 59 == 0) & (i >= 3) & (i <= 5), i - 3)
+            .otherwise(i)
+        )
         # the %29 repeated-phrase and %31 clean-prose classes must NOT
         # duplicate whole lines (%29's signal is the shared 6-word prefix
         # below the dup-line radar; %31 must pass every repetition rule)
@@ -169,11 +188,16 @@ def _cte_sql() -> str:
     vocab = "[" + ",".join(f"'{w}'" for w in VOCAB) + "]"
     s = (
         "(CASE WHEN doc_id % 11 = 0 AND i >= 3 THEN i % 3"
+        " WHEN doc_id % 59 = 0 AND i >= 3 AND i <= 5 THEN i - 3"
         " WHEN doc_id % 29 = 0 OR doc_id % 31 = 0 THEN i"
         " WHEN i >= 3 AND (doc_id + i) % 3 = 0 THEN i % 3 ELSE i END)"
     )
     pair = f"(doc_id * 7 + {s} * 11 + j * 5) % 256"
     word = f"""CASE
+      WHEN doc_id % 37 = 0 AND {s} % 3 = 1 AND j = 2 THEN 'javascript'
+      WHEN doc_id % 41 = 0 AND {s} = 1 AND j = 2 THEN 'lorem'
+      WHEN doc_id % 41 = 0 AND {s} = 1 AND j = 3 THEN 'ipsum'
+      WHEN doc_id % 43 = 0 AND {s} = 2 AND j = 1 THEN '{{'
       WHEN doc_id % 46 = 0
         THEN CAST((doc_id + {s} * 3 + j * 7) % 90 + 10 AS VARCHAR)
       WHEN doc_id % 23 = 0
@@ -213,7 +237,8 @@ def _cte_sql() -> str:
       array_to_string(list_transform(
         range(0, {n_words}), j -> {word}), ' '),
       CASE WHEN doc_id % 17 = 0 OR (doc_id * 3 + {s}) % 7 = 0
-           THEN '...' ELSE '' END)"""
+           THEN '...'
+           WHEN (doc_id + {s} * 3) % 4 <> 0 THEN '.' ELSE '' END)"""
     return f"""
 wt AS (
   SELECT doc_id,
