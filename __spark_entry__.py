@@ -829,6 +829,22 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_filter(repetition_signals(synth_webtext(spark, sf_dir)))
 
 
+def _pii_oracle() -> str:
+    from docling_spark.ops.pii import pii_oracle_sql
+    from docling_spark.ops.webtext import WEBTEXT_CTE_SQL
+
+    return pii_oracle_sql(WEBTEXT_CTE_SQL)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hygiene (ops/pii.py): email/phone/IPv4 redaction to typed
+    placeholders with per-type counts — chained JVM regexp ops, zero
+    shuffles; scrubbed text and counts value-checked."""
+    from docling_spark.ops.pii import pii_scrub, synth_pii_text
+
+    return pii_scrub(synth_pii_text(spark, sf_dir))
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1027,7 +1043,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_fields": q_structured_fields,
         "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
-        "format_dispatch": q_format_dispatch,
         "csv_extract": q_csv_extract,
         "size_limits": q_size_limits,
         "span_offsets": q_span_offsets,
@@ -1054,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
         "c4_span_dedup": q_c4_span_dedup,
+        "pii_scrub": q_pii_scrub,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1081,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_extract": q_structured_extract,  # shape slice of structured_fields
         "spans_export": q_spans_export,  # relational grain of doc_json (25/25 golden)
         "pdf_spans": q_pdf_spans,  # span grain of pdf_struct_spans + pdf_extract
+        "format_dispatch": q_format_dispatch,  # per-row grain of mixed_dispatch
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1925,6 +1942,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _webtext_oracle_sql(),
         "c4_clean": _c4_oracle("clean"),
         "c4_span_dedup": _c4_oracle("span"),
+        "pii_scrub": _pii_oracle(),
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,
