@@ -589,10 +589,12 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resize), baseline JPEG (ops/jpeg.py: huffman entropy decode + IDCT
     over genuinely entropy-coded scans — block-constant unit-quant law
     px(x)=(doc_id+16*(x//8))%%256 makes the decode bit-exact), RIFF/WAVE
-    (parse_wav), animated GIF (ops/gif.py LZW — frame sampling aggregated
-    per doc), multi-page TIFF (ops/tiff.py: Deflate strips + Predictor 2
-    undo, page fan-out aggregated), and the BMP header sniff
-    (ops/png.image_meta)."""
+    (parse_wav meta + PCM16 mean/peak/RMS features), animated GIF
+    (ops/gif.py LZW — frame sampling aggregated per doc), animated PNG
+    (ops/apng.py acTL/fcTL/fdAT zlib frames — same aggregation), multi-
+    page TIFF (ops/tiff.py: Deflate strips + Predictor 2 undo, page
+    fan-out aggregated), and the BMP + WebP header sniffs
+    (ops/png.image_meta: BITMAPINFOHEADER, VP8/VP8L/VP8X)."""
     from docling_spark.ops import multimodal as mm
 
     media = mm.synth_media(spark, sf_dir)
@@ -639,6 +641,17 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    apng = (
+        mm.sample_frames(media, every_k=2, col="apng_video")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("ap_frames"),
+            F.sum("frame_bytes").alias("ap_bytes"),
+            F.min(F.when(F.col("frame_idx") == 0, F.col("first_px"))).alias(
+                "ap_px0"
+            ),
+        )
+    )
     tif = (
         mm.tiff_pages(media, col="tiff")
         .groupBy("doc_id")
@@ -665,7 +678,7 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").alias("s_webp_channels"),
     )
     out = meta
-    for d in (feats, rez, jm, jf, wav, wavf, gif, tif, bmp, webp):
+    for d in (feats, rez, jm, jf, wav, wavf, gif, apng, tif, bmp, webp):
         out = out.join(d, "doc_id")
     return out
 
@@ -1786,6 +1799,12 @@ def oracle_sql() -> dict[str, str]:
                        * (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8)
                        AS g_bytes,
                    CAST(d.doc_id % 256 AS INTEGER) AS g_px0,
+                   -- APNG twin: same _vid_params + pixel law as the GIF
+                   CAST((4 + d.doc_id % 12 + 1) // 2 AS INTEGER) AS ap_frames,
+                   ((4 + d.doc_id % 12 + 1) // 2)
+                       * (8 + d.doc_id % 8) * (8 + (d.doc_id // 2) % 8)
+                       AS ap_bytes,
+                   CAST(d.doc_id % 256 AS INTEGER) AS ap_px0,
                    CAST(1 + d.doc_id % 3 AS INTEGER) AS t_pages,
                    CAST(16 + d.doc_id % 32 AS INTEGER) AS t_width,
                    CAST(8 + d.doc_id % 16 AS INTEGER) AS t_height,

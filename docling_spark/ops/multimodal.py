@@ -80,6 +80,19 @@ def make_video_gif(doc_id: int) -> bytes:
     return encode_gif(frames, fw, fh)
 
 
+def make_video_apng(doc_id: int) -> bytes:
+    """REAL APNG (ops/apng.py: acTL/fcTL/fdAT, zlib-compressed frames)
+    carrying the SAME deterministic pixel law as FVID and the GIF twin —
+    the frame-sampling oracle is format-independent."""
+    from .apng import encode_apng
+
+    nframes, fw, fh = _vid_params(doc_id)
+    frames = [
+        bytes([(doc_id + k) % 256]) * (fw * fh) for k in range(nframes)
+    ]
+    return encode_apng(frames, fw, fh)
+
+
 def make_png(doc_id: int) -> bytes:
     """REAL PNG (ops/png.py encoder): greyscale gradient, row-constant —
     pixel(x, y) = (doc_id + x) % 256, so mean/min/max are SQL-derivable."""
@@ -259,6 +272,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "png": [make_png(i) for i in ids],
                     "video": [make_video(i) for i in ids],
                     "gif_video": [make_video_gif(i) for i in ids],
+                    "apng_video": [make_video_apng(i) for i in ids],
                     "audio": [make_audio(i) for i in ids],
                     "wav": [make_wav(i) for i in ids],
                     "jpeg": [make_jpeg_header(i) for i in ids],
@@ -274,9 +288,9 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         schema=(
             "doc_id long, image binary, png binary, video binary, "
-            "gif_video binary, audio binary, wav binary, jpeg binary, "
-            "jpeg_full binary, tiff binary, gif binary, bmp binary, "
-            "webp binary"
+            "gif_video binary, apng_video binary, audio binary, "
+            "wav binary, jpeg binary, jpeg_full binary, tiff binary, "
+            "gif binary, bmp binary, webp binary"
         ),
     )
 
@@ -385,9 +399,9 @@ def sample_frames(
     media: DataFrame, every_k: int = 2, col: str = "video"
 ) -> DataFrame:
     """Video frame sampling: one output row per kept frame (fan-out op —
-    the mapInPandas yields more rows than it receives). Dual-format:
-    REAL animated GIF containers (ops/gif.py LZW decode) or the FVID
-    fake — same output law either way."""
+    the mapInPandas yields more rows than it receives). Tri-format:
+    REAL animated GIF (ops/gif.py LZW decode), REAL APNG (ops/apng.py
+    zlib frame decode) or the FVID fake — same output law either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -398,6 +412,16 @@ def sample_frames(
                     from .gif import decode_gif
 
                     _w, _h, frames, _gct = decode_gif(blob)
+                    for k in range(0, len(frames), every_k):
+                        f = frames[k]
+                        rows.append(
+                            (int(doc_id), k, len(f), f[0] if f else None)
+                        )
+                    continue
+                if blob[:8] == b"\x89PNG\r\n\x1a\n":
+                    from .apng import decode_apng
+
+                    _w, _h, _c, frames = decode_apng(blob)
                     for k in range(0, len(frames), every_k):
                         f = frames[k]
                         rows.append(
