@@ -797,10 +797,14 @@ def _webtext_oracle_sql() -> str:
 
 
 def _c4_oracle(kind: str) -> str:
-    from docling_spark.ops.c4 import clean_oracle_sql, span_oracle_sql
+    from docling_spark.ops import c4
     from docling_spark.ops.webtext import WEBTEXT_CTE_SQL
 
-    fn = clean_oracle_sql if kind == "clean" else span_oracle_sql
+    fn = {
+        "clean": c4.clean_oracle_sql,
+        "span": c4.span_oracle_sql,
+        "removal": c4.removal_oracle_sql,
+    }[kind]
     return fn(WEBTEXT_CTE_SQL)
 
 
@@ -847,6 +851,16 @@ def _pii_oracle() -> str:
     from docling_spark.ops.webtext import WEBTEXT_CTE_SQL
 
     return pii_oracle_sql(WEBTEXT_CTE_SQL)
+
+
+def q_c4_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full C4 span-dedup semantics: duplicated 3-sentence spans REMOVED
+    from the text (global first occurrence kept). One hash exchange +
+    doc_id agg + join back; rebuild is an in-row indexed lambda filter."""
+    from docling_spark.ops.c4 import c4_remove_dup_spans
+    from docling_spark.ops.webtext import synth_webtext
+
+    return c4_remove_dup_spans(synth_webtext(spark, sf_dir))
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1081,7 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
-        "c4_span_dedup": q_c4_span_dedup,
+        "c4_span_removal": q_c4_span_removal,
         "pii_scrub": q_pii_scrub,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
@@ -1111,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spans_export": q_spans_export,  # relational grain of doc_json (25/25 golden)
         "pdf_spans": q_pdf_spans,  # span grain of pdf_struct_spans + pdf_extract
         "format_dispatch": q_format_dispatch,  # per-row grain of mixed_dispatch
+        "c4_span_dedup": q_c4_span_dedup,  # span grain of c4_span_removal
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1961,6 +1976,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _webtext_oracle_sql(),
         "c4_clean": _c4_oracle("clean"),
         "c4_span_dedup": _c4_oracle("span"),
+        "c4_span_removal": _c4_oracle("removal"),
         "pii_scrub": _pii_oracle(),
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (

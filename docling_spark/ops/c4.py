@@ -121,6 +121,48 @@ def c4_span_dedup(df: DataFrame, col: str = "wtext") -> DataFrame:
     )
 
 
+def c4_remove_dup_spans(df: DataFrame, col: str = "wtext") -> DataFrame:
+    """The full C4 span-dedup SEMANTICS: duplicated three-sentence spans
+    are REMOVED from the text (all but the global first occurrence),
+    not just flagged -> (doc_id, n_sents, n_kept, clean_text).
+
+    A sentence is dropped iff some duplicate span occurrence in its own
+    document covers it (positions idx..idx+2). Plan: in-row span hashing,
+    ONE hash exchange for the first-occurrence window, a doc_id partial
+    agg of drop positions, and one join back — then the rebuild is
+    in-row again (indexed lambda filter, zero Python)."""
+    sent = _sentences(col)
+    base = df.select("doc_id", sent.alias("sents"))
+    ns = F.size("sents")
+    spans = F.when(
+        ns >= 3,
+        F.transform(
+            F.sequence(F.lit(0), ns - 3),
+            lambda i: F.md5(F.array_join(F.slice("sents", i + 1, 3), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select("doc_id", F.posexplode(spans).alias("span_idx", "h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "span_idx")
+    dups = (
+        ex.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("span_idx").alias("drops"))
+    )
+    joined = base.join(dups, "doc_id", "left")
+    covered = lambda x, i: F.exists(  # noqa: E731 — needs two params
+        F.coalesce(F.col("drops"), F.array().cast("array<int>")),
+        lambda d: (d <= i) & (i <= d + 2),
+    )
+    kept = F.filter("sents", lambda x, i: ~covered(x, i))
+    return joined.select(
+        "doc_id",
+        F.size("sents").alias("n_sents"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
 # ------------------------------------------------------------------ oracles
 def clean_oracle_sql(corpus_cte: str) -> str:
     """DuckDB mirror of c4_clean over the given `wt AS (...)` corpus CTE."""
@@ -181,4 +223,42 @@ SELECT doc_id, CAST(span_idx AS INTEGER) AS span_idx, span_hash,
        row_number() OVER (PARTITION BY span_hash
                           ORDER BY doc_id, span_idx) > 1 AS is_dup
 FROM sp"""
+    )
+
+
+def removal_oracle_sql(corpus_cte: str) -> str:
+    """DuckDB mirror of c4_remove_dup_spans (NOTE: DuckDB's indexed
+    list_filter lambda is 1-based where Spark's is 0-based)."""
+    return (
+        "WITH "
+        + corpus_cte
+        + f""",
+sent AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(regexp_replace(wtext, '\\n+', ' ', 'g'),
+                              '{_SENTENCE_RE}'),
+           x -> lower(trim(x))) AS sn
+  FROM wt),
+sp AS (
+  SELECT doc_id, g.i AS span_idx,
+         md5(array_to_string(list_slice(sn, g.i + 1, g.i + 3), ' '))
+             AS span_hash
+  FROM sent, LATERAL (SELECT unnest(range(0, greatest(len(sn) - 2, 0))) AS i) g),
+dup AS (
+  SELECT doc_id, list(span_idx) AS drops
+  FROM (SELECT doc_id, span_idx,
+               row_number() OVER (PARTITION BY span_hash
+                                  ORDER BY doc_id, span_idx) AS rn
+        FROM sp)
+  WHERE rn > 1 GROUP BY doc_id)
+SELECT s.doc_id, len(sn) AS n_sents,
+       len(list_filter(sn, (x, i) ->
+           len(list_filter(coalesce(d.drops, []),
+               dd -> dd <= i - 1 AND i - 1 <= dd + 2)) = 0)) AS n_kept,
+       coalesce(array_to_string(list_filter(sn, (x, i) ->
+           len(list_filter(coalesce(d.drops, []),
+               dd -> dd <= i - 1 AND i - 1 <= dd + 2)) = 0), ' '), '')
+           AS clean_text
+FROM sent s LEFT JOIN dup d ON s.doc_id = d.doc_id"""
     )

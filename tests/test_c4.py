@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import SparkSession
 
-from docling_spark.ops.c4 import c4_clean, c4_span_dedup
+from docling_spark.ops.c4 import c4_clean, c4_remove_dup_spans, c4_span_dedup
 from docling_spark.ops.webtext import synth_webtext
 
 SF = "/root/testdata/sf0.001"
@@ -91,6 +91,46 @@ def test_short_doc_has_no_spans(spark):
     assert c4_span_dedup(df).count() == 0
 
 
+def test_span_removal_semantics(spark):
+    # doc 0: a b c d (4 sentences, spans abc bcd)
+    # doc 1: a b c e -> its span (a b c) duplicates doc 0 span 0, so
+    #         sentences 0..2 are removed; e survives
+    # doc 2: x y z   -> unique span, untouched
+    d0 = "Aa one. Bb two. Cc three. Dd four."
+    d1 = "aa one. bb two. cc three. Ee five."
+    d2 = "Xx six. Yy seven. Zz eight."
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1), (2, d2)], "doc_id long, wtext string"
+    )
+    rows = {r.doc_id: r for r in c4_remove_dup_spans(df).collect()}
+    assert (rows[0].n_sents, rows[0].n_kept) == (4, 4)
+    assert rows[0].clean_text == "aa one. bb two. cc three. dd four."
+    assert (rows[1].n_sents, rows[1].n_kept) == (4, 1)
+    assert rows[1].clean_text == "ee five."
+    assert (rows[2].n_sents, rows[2].n_kept) == (3, 3)
+
+
+def test_span_removal_within_doc(spark):
+    # the same 3 sentences repeat inside ONE doc: the second occurrence
+    # (positions 3..5) is removed; overlap spans (1..3, 2..4) are unique
+    d = "a one. b two. c three. a one. b two. c three."
+    df = spark.createDataFrame([(0, d)], "doc_id long, wtext string")
+    r = c4_remove_dup_spans(df).collect()[0]
+    assert (r.n_sents, r.n_kept) == (6, 3)
+    assert r.clean_text == "a one. b two. c three."
+
+
+def test_span_removal_empty_doc_result(spark):
+    # two identical docs of exactly 3 sentences: the later doc empties
+    d = "a one. b two. c three."
+    df = spark.createDataFrame(
+        [(0, d), (1, d)], "doc_id long, wtext string"
+    )
+    rows = {r.doc_id: r for r in c4_remove_dup_spans(df).collect()}
+    assert rows[0].n_kept == 3
+    assert (rows[1].n_kept, rows[1].clean_text) == (0, "")
+
+
 def test_plan_shapes(spark):
     """c4_clean is scan -> project (zero exchanges, zero Python);
     c4_span_dedup is exactly ONE hash exchange (the global window)."""
@@ -103,4 +143,11 @@ def test_plan_shapes(spark):
     plan = spans._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(span_hash" in plan
+    assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+    removal = c4_remove_dup_spans(synth_webtext(spark, SF))
+    plan = removal._jdf.queryExecution().executedPlan().toString()
+    # window on hash + partial/final agg on doc_id + join back — and the
+    # sentence rebuild itself adds no exchange (in-row indexed filter)
+    assert plan.count("Exchange") <= 4
     assert "MapInPandas" not in plan and "EvalPython" not in plan
