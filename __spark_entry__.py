@@ -872,6 +872,31 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(synth_pii_text(spark, sf_dir))
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (ops/curate.domain_cap): synth multi-domain crawl
+    frame in the north-rule shape (url, warc_ts), keep <= 3 docs per host
+    preferring the latest crawl — one window exchange on domain."""
+    from docling_spark.ops.curate import domain_cap
+
+    crawl = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .select(
+            F.concat(
+                F.lit("https://d"),
+                F.col("doc_id") % 23,
+                F.lit(".example.org/p/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            F.expr(
+                "timestamp '2024-01-01 00:00:00'"
+                " + (doc_id % 97) * INTERVAL '1' HOUR"
+            ).alias("warc_ts"),
+        )
+    )
+    return domain_cap(crawl, k=3)
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1074,7 +1099,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,
         "span_offsets": q_span_offsets,
         "chunk_spans": q_chunk_spans,
-        "doc_json": q_doc_json,
         "doctags_export": q_doctags_export,
         "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
@@ -1097,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": q_c4_clean,
         "c4_span_removal": q_c4_span_removal,
         "pii_scrub": q_pii_scrub,
+        "domain_cap": q_domain_cap,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1126,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_spans": q_pdf_spans,  # span grain of pdf_struct_spans + pdf_extract
         "format_dispatch": q_format_dispatch,  # per-row grain of mixed_dispatch
         "c4_span_dedup": q_c4_span_dedup,  # span grain of c4_span_removal
+        "doc_json": q_doc_json,  # byte-parity 25/25 via tools/json_check + goldens
         "mm_png_ops": q_mm_png_ops,  # sub-row of mm_codecs
         "mm_sniff_meta": q_mm_sniff_meta,  # bmp row inside mm_codecs
         "mm_wav_meta": q_mm_wav_meta,  # sub-row of mm_codecs
@@ -1978,6 +2004,22 @@ def oracle_sql() -> dict[str, str]:
         "c4_span_dedup": _c4_oracle("span"),
         "c4_span_removal": _c4_oracle("removal"),
         "pii_scrub": _pii_oracle(),
+        "domain_cap": """
+            WITH c AS (
+              SELECT 'https://d' || (doc_id % 23) || '.example.org/p/'
+                     || doc_id AS url,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                     + (doc_id % 97) * INTERVAL 1 HOUR AS warc_ts
+              FROM documents),
+            r AS (
+              SELECT url,
+                     regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+                     row_number() OVER (
+                       PARTITION BY regexp_extract(url, '^[a-z]+://([^/]+)', 1)
+                       ORDER BY warc_ts DESC, url) AS rank
+              FROM c)
+            SELECT url, domain, rank, rank <= 3 AS kept FROM r
+        """,
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,

@@ -60,3 +60,35 @@ def curate(
         "reason",
         "n_tokens",
     )
+
+
+def domain_cap(
+    df: DataFrame, k: int = 3, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb-style crawl curation gate):
+    keep at most ``k`` documents per registered host, preferring the most
+    recent crawl — (url, domain, rank, kept).
+
+    Domain = the authority part of the url (regexp, no UDF). Rank is a
+    window over (ts DESC, url) inside each domain — deterministic
+    tie-break by url so reruns are stable. ONE exchange on domain; a hot
+    domain (crawl skew is real: a few hosts dominate CC) is still a
+    single partition, so at production scale run with AQE skew-join
+    splitting or pre-aggregate counts — documented, same shape as the
+    latest-crawl window dedup."""
+    from pyspark.sql.window import Window
+
+    domain = F.regexp_extract(F.col(url_col), "^[a-z]+://([^/]+)", 1)
+    w = Window.partitionBy("domain").orderBy(
+        F.col(ts_col).desc(), F.col(url_col)
+    )
+    return (
+        df.select(url_col, ts_col, domain.alias("domain"))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            url_col,
+            "domain",
+            "rank",
+            (F.col("rank") <= k).alias("kept"),
+        )
+    )

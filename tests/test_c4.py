@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from docling_spark.ops.c4 import c4_clean, c4_remove_dup_spans, c4_span_dedup
 from docling_spark.ops.webtext import synth_webtext
@@ -151,3 +152,26 @@ def test_plan_shapes(spark):
     # sentence rebuild itself adds no exchange (in-row indexed filter)
     assert plan.count("Exchange") <= 4
     assert "MapInPandas" not in plan and "EvalPython" not in plan
+
+
+def test_domain_cap(spark):
+    from docling_spark.ops.curate import domain_cap
+
+    rows = [
+        (f"https://{d}.org/p/{i}", f"2024-01-0{ts}")
+        for d, i, ts in [
+            ("a", 1, 1), ("a", 2, 2), ("a", 3, 3), ("a", 4, 4),
+            ("b", 5, 1),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string").select(
+        "url", F.to_timestamp("warc_ts").alias("warc_ts")
+    )
+    out = {r.url: r for r in domain_cap(df, k=2).collect()}
+    # domain a: latest two (ts 4, 3) kept; older two dropped
+    assert out["https://a.org/p/4"].kept is True
+    assert out["https://a.org/p/3"].kept is True
+    assert out["https://a.org/p/2"].kept is False
+    assert out["https://a.org/p/1"].kept is False
+    assert out["https://b.org/p/5"].kept is True
+    assert out["https://a.org/p/4"].domain == "a.org"
