@@ -32,6 +32,9 @@ HEADLINE = [
     "chunk_spans_frozen",
     "dedup_exact",
     "lsh_dup_pairs",
+    "dedup_clusters",
+    "gopher_quality",
+    "c4_span_removal",
     "simhash",
     "token_count",
     "quality_score",

@@ -1,0 +1,146 @@
+"""Connected components over a duplicate-pair graph (cluster resolution).
+
+The missing last stage of a MinHash/SimHash dedup pipeline: LSH banding
+produces candidate *pairs*; keeping one document per duplicate *cluster*
+needs the transitive closure of those pairs. This implements the
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) as pure DataFrame ops:
+
+- each round is two groupBy/join passes (large-star then small-star),
+  no driver-side graph state — the edge list never leaves the cluster;
+- converges in O(log n) rounds on any graph (duplicate clusters are
+  near-cliques and converge in 1-2), each round's shuffle is bounded by
+  the current edge count, which is non-increasing after round one;
+- ``localCheckpoint`` per round cuts the lineage so round k's plan does
+  not replay rounds 1..k-1 (the standard iterative-algorithm hygiene —
+  same pattern GraphX/GraphFrames uses internally);
+- convergence is detected from a per-round (count, checksum) aggregate —
+  one tiny driver-side scalar per round, not a collect of the edges.
+
+Reference parity note: the reference (docling) has no cluster stage —
+dedup families here go beyond it per the brief's LLM-data-pipeline
+contract; the algorithm itself is from the public paper above.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select("u", "v")
+        .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    Symmetrizes internally (the paper's map step emits both directions),
+    so it accepts the asymmetric (node, root) output of a prior small-star.
+    """
+    sym = _symmetrize(edges)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient (max, min); for each u: m = min(N(u) ∪ {u});
+    emit (v, m) for v in N(u) ∪ {u} \\ {m}."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = oriented.join(mins, "u").select(
+        F.col("v").alias("n"), F.col("m"), F.col("u")
+    )
+    self_edges = mins.select(F.col("u").alias("n"), "m", "u")
+    return (
+        nbrs.union(self_edges)
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("c"),
+        F.coalesce(
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+        ).alias("s"),
+    ).first()
+    return int(row["c"]), int(row["s"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 24, checkpoint: bool = True
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable. Columns in: ``u``, ``v``.
+
+    ``max_iter`` bounds the driver loop (2·log2(n) rounds suffice per the
+    paper; 24 covers n up to ~4 × 10^3 chained — real dup clusters
+    converge in 1-3 rounds). Raises if not converged, rather than
+    silently returning partial components.
+    """
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    cur = edges.select("u", "v")
+    prev_sig: tuple[int, int] | None = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur))
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged: every edge is (node, root). Roots map to themselves.
+    assign = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        nodes.join(assign, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_assignments(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster-resolve duplicate pairs into a keep/drop decision per doc.
+
+    ``docs``: any frame with ``doc_id``; ``pairs``: (doc_a, doc_b) from
+    lsh_candidate_pairs / simhash_candidate_pairs. Returns
+    (doc_id, component, is_canonical) for EVERY doc — singletons keep
+    their own id and are canonical. Keep-list = filter(is_canonical).
+    """
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    comp = connected_components(edges).withColumnRenamed("node", "doc_id")
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+        )
+        .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
+    )
