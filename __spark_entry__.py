@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from docling_spark.job import extract_pages, with_content_type
-from docling_spark.ops import ann, dedup, textstats
+from docling_spark.ops import ann, cc, dedup, textstats
 from docling_spark.ops.corpus import SYNTH_MD_SQL, synth_pages
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -897,6 +897,17 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_cap(crawl, k=3)
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation (ops/urlfilter.py): deterministic synth URLs →
+    suffix-explode + broadcast blocklist equi-join (subdomain-safe, the
+    UT1-list scale shape) + hard/soft keyword, spam-query and path-depth
+    gates with first-failing-reason attribution."""
+    from docling_spark.ops import urlfilter
+
+    urls = urlfilter.synth_urls(_docs(spark, sf_dir).select("doc_id"))
+    return urlfilter.url_filter(urls, urlfilter.blocked_domains(spark))
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -940,6 +951,25 @@ def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 40))
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-resolved dedup keep-list: LSH candidate pairs ∪ deterministic
+    chain edges (paths of 10 docs — forces multi-round convergence) →
+    large-star/small-star connected components (ops/cc.py) → per-doc
+    (component, is_canonical). The stage that turns pair output into the
+    one-doc-per-cluster decision a 100 TB dedup actually ships."""
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    chain = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 99) & (F.col("doc_id") % 10 != 9))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+    )
+    return cc.dedup_assignments(docs, pairs.unionByName(chain))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1122,9 +1152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_removal": q_c4_span_removal,
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
+        "url_filter": q_url_filter,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
@@ -1171,6 +1203,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_meta": q_mm_audio_meta,  # fake-codec twin of mm_wav_meta
         "mm_frame_sample": q_mm_frame_sample,  # fake video codec (seam)
     }
+
+
+def _urlfilter_oracle() -> str:
+    """DuckDB mirror of ops/urlfilter: same URL law, same gate order."""
+    from docling_spark.ops import urlfilter as uf
+
+    hosts = "[" + ", ".join(f"'{h}'" for h in uf._HOSTS) + "]"
+    segs = "[" + ", ".join(f"'{s}'" for s in uf._SEGS) + "]"
+    blocked = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in uf.DEFAULT_BLOCKED
+    )
+    hard = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.HARD_KEYWORDS)
+    soft = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.SOFT_KEYWORDS)
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+            'https://' || list_extract({hosts}, CAST(doc_id % 12 AS INTEGER) + 1)
+            || CASE WHEN doc_id % 9 > 0 THEN '/' || array_to_string(
+                 list_transform(range(1, CAST(doc_id % 9 AS INTEGER) + 1),
+                   i -> list_extract({segs}, CAST((doc_id + i) % 8 AS INTEGER) + 1)),
+                 '/')
+               ELSE '' END
+            || CASE WHEN doc_id % 13 = 0 THEN '/xxx-videos' ELSE '' END
+            || CASE WHEN doc_id % 11 = 0 THEN '/poker-bet-online' ELSE '' END
+            || CASE WHEN doc_id % 7 = 0 AND doc_id % 11 != 0
+                    THEN '/prize-draw' ELSE '' END
+            || CASE WHEN doc_id % 15 = 0
+                    THEN '?session=' || lpad(CAST(doc_id * 37 AS VARCHAR), 14, '0')
+                    ELSE '' END AS url
+          FROM documents),
+        f AS (
+          SELECT doc_id, url, lower(url) AS lu,
+                 regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1) AS host
+          FROM u),
+        g AS (
+          SELECT doc_id, url, host,
+            ({blocked}) AS blocked,
+            {hard} AS hard,
+            {soft} AS soft,
+            len(list_filter(string_split(
+              regexp_extract(lu, '^[a-z]+://[^/?#]+([^?#]*)', 1), '/'),
+              s -> s != '')) AS depth,
+            regexp_matches(lu, '\\d{{{uf.SPAM_DIGIT_RUN},}}') AS spam
+          FROM f),
+        r AS (
+          SELECT doc_id, url, host,
+            CASE WHEN blocked THEN 'blocked_domain'
+                 WHEN hard >= 1 THEN 'hard_keyword'
+                 WHEN soft >= 2 THEN 'soft_keywords'
+                 WHEN spam THEN 'spam_query'
+                 WHEN depth > {uf.MAX_PATH_DEPTH} THEN 'too_deep'
+                 ELSE 'keep' END AS reason
+          FROM g)
+        SELECT doc_id, url, host, reason, reason = 'keep' AS keep FROM r
+    """
 
 
 # ------------------------------------------------------------------ oracles
@@ -2020,6 +2107,7 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
+        "url_filter": _urlfilter_oracle(),
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,
@@ -2057,6 +2145,47 @@ def oracle_sql() -> dict[str, str]:
             FROM banded a JOIN banded b
               ON a.band_id = b.band_id AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
+        """,
+        # transitive closure of the same pair graph + chain edges: recursive
+        # min-label reachability == large-star/small-star fixpoint (ops/cc.py)
+        "dedup_clusters": f"""
+            {_DUPS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)},
+            base AS (SELECT * FROM docs2 WHERE doc_id < 100 OR doc_id >= 100000),
+            sh AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM base d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sig AS (
+              SELECT sh.doc_id, s.seed, min(md5(sh.sh || ':' || s.seed)) AS minhash
+              FROM sh CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS seed) s
+              GROUP BY sh.doc_id, s.seed
+            ),
+            banded AS (
+              SELECT doc_id, (seed - 1) // 2 AS band_id,
+                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+              FROM sig GROUP BY doc_id, (seed - 1) // 2
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM banded a JOIN banded b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+            ),
+            chain AS (
+              SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+              WHERE doc_id < 99 AND doc_id % 10 != 9
+            ),
+            edges AS (SELECT u, v FROM pairs UNION SELECT u, v FROM chain),
+            sym AS (SELECT u, v FROM edges
+                    UNION SELECT v AS u, u AS v FROM edges),
+            reach(node, comp) AS (
+              SELECT doc_id, doc_id FROM base
+              UNION
+              SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node
+            )
+            SELECT node AS doc_id, min(comp) AS component,
+                   (min(comp) = node) AS is_canonical
+            FROM reach GROUP BY node
         """,
         "ngram_jaccard": f"""
             {_DUPS_CTE},
