@@ -908,6 +908,27 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_filter(urls, urlfilter.blocked_domains(spark))
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
+    trained on a trusted slice (doc_id < 300), broadcast to score a
+    mixed corpus (originals + OOV-junk-degraded copies), head/middle/
+    tail buckets on mean token NLL. Logprobs quantized to 1/1024 so
+    score sums are exact dyadic arithmetic in both engines."""
+    from docling_spark.ops import lm_quality as lmq
+
+    docs = _docs(spark, sf_dir)
+    lm = lmq.train_unigram_lm(docs.filter(F.col("doc_id") < 300))
+    junk = F.repeat(
+        F.lit(" zq9x vv3k zzp1"), ((F.length("text") + 29) / 30).cast("int")
+    )
+    noisy = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", junk).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(noisy)
+    return lmq.lm_score(corpus, lm, head=3.5, tail=6.0)
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1153,6 +1174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
+        "lm_quality": q_lm_quality,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -2108,6 +2130,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
         "url_filter": _urlfilter_oracle(),
+        "lm_quality": """
+            WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),
+            rw AS (
+              SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM ref),
+            c AS (SELECT token, count(*) AS cnt FROM rw
+                  WHERE token != '' GROUP BY token),
+            t AS (SELECT sum(cnt) AS total FROM c),
+            lm AS (SELECT token, round(ln(total / cnt) * 1024) / 1024 AS nll
+                   FROM c, t),
+            corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     text || repeat(' zq9x vv3k zzp1',
+                                    CAST((length(text) + 29) // 30 AS INTEGER))
+              FROM documents WHERE doc_id % 3 = 0),
+            dw AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\\s+')) AS token
+              FROM corpus),
+            s AS (
+              SELECT d.doc_id, count(*) AS n_tokens,
+                     sum(coalesce(lm.nll, 16.0)) AS sum_nll
+              FROM (SELECT * FROM dw WHERE token != '') d
+              LEFT JOIN lm USING (token)
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll,
+                   CASE WHEN sum_nll / n_tokens < 3.5 THEN 'head'
+                        WHEN sum_nll / n_tokens < 6.0 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s
+        """,
         "dedup_latest": """
             SELECT user_id, latest_event_id FROM (
               SELECT user_id, event_id AS latest_event_id,
