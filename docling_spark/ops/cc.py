@@ -29,11 +29,14 @@ from pyspark.sql import functions as F
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
+    # no distinct: duplicate edges do not change any min-aggregate, and the
+    # end-of-round distinct in _small_star bounds growth (one exchange saved
+    # per round — per-round stage count is the latency floor of iterative
+    # Spark jobs)
     return (
         edges.select("u", "v")
         .union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -51,7 +54,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 
@@ -60,7 +62,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     emit (v, m) for v in N(u) ∪ {u} \\ {m}."""
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct()
+    )
     mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
     nbrs = oriented.join(mins, "u").select(
         F.col("v").alias("n"), F.col("m"), F.col("u")
@@ -105,7 +107,9 @@ def connected_components(
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur))
         if checkpoint:
-            cur = cur.localCheckpoint(eager=True)
+            # lazy: the checksum action below materializes the checkpoint,
+            # so each round is ONE Spark job with the lineage still cut
+            cur = cur.localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             break
