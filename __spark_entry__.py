@@ -929,6 +929,21 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmq.lm_score(corpus, lm, head=3.5, tail=6.0)
 
 
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix construction (ops/sampling.py):
+    per-lang stratified hash sampling from a broadcast rate dim with
+    1/rate loss weights, then hash-stable train/val/test assignment —
+    zero shuffles beyond the broadcast, reproducible on any cluster."""
+    from docling_spark.ops import sampling
+
+    docs = _docs(spark, sf_dir)
+    rates = sampling.mix_rates(spark, {"en": 1.0, "de": 0.5, "fr": 0.25})
+    sampled = sampling.stratified_rates(docs, "doc_id", "lang", rates)
+    return sampling.assign_splits(sampled, "doc_id").select(
+        "doc_id", "lang", "rate", "weight", "split"
+    )
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1175,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
         "lm_quality": q_lm_quality,
+        "corpus_mix": q_corpus_mix,
         "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
@@ -1225,6 +1241,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_meta": q_mm_audio_meta,  # fake-codec twin of mm_wav_meta
         "mm_frame_sample": q_mm_frame_sample,  # fake video codec (seam)
     }
+
+
+def _hash_frac_sql(salt: str, key: str = "doc_id") -> str:
+    """DuckDB mirror of ops/sampling.hash_frac (Horner over 8 nibbles)."""
+    expr = "0"
+    for i in range(1, 9):
+        nib = (
+            f"(strpos('0123456789abcdef', substring(md5('{salt}' || "
+            f"CAST({key} AS VARCHAR)), {i}, 1)) - 1)"
+        )
+        expr = f"({expr} * 16 + {nib})"
+    return f"({expr} / 4294967296.0)"
+
+
+def _corpus_mix_oracle() -> str:
+    fs = _hash_frac_sql("sample:")
+    fp = _hash_frac_sql("split:")
+    return f"""
+        WITH r AS (
+          SELECT d.doc_id, d.lang,
+                 coalesce(m.rate, 0.1) AS rate
+          FROM documents d
+          LEFT JOIN (VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.25))
+                    m(strata, rate) ON d.lang = m.strata),
+        s AS (
+          SELECT doc_id, lang, rate, 1.0 / rate AS weight
+          FROM r WHERE {fs} < rate)
+        SELECT doc_id, lang, rate, weight,
+               CASE WHEN {fp} < 0.9 THEN 'train'
+                    WHEN {fp} < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM s
+    """
 
 
 def _urlfilter_oracle() -> str:
@@ -2130,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
         "url_filter": _urlfilter_oracle(),
+        "corpus_mix": _corpus_mix_oracle(),
         "lm_quality": """
             WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),
             rw AS (

@@ -1,0 +1,95 @@
+"""Deterministic hash sampling, stratified mix rates, and split assignment.
+
+Training-corpus construction needs REPRODUCIBLE sampling: the same row
+must land in the same subsample/split on every run, on any cluster size,
+after any resume — so none of this uses RNG state. A row's fate is a
+pure function of its key: frac(key) = first-8-hex-digits of md5(key) /
+2^32, uniform on [0, 1).
+
+- ``hash_sample``: keep rows with frac < rate (exact-expectation
+  subsample; at 100 TB this is a scan → filter, pushed past column
+  pruning, zero shuffles, and trivially consistent across retries);
+- ``stratified_rates``: per-stratum rates from a broadcast dim (the
+  "training mix": oversample low-resource langs, downsample crawl bulk)
+  plus the 1/rate loss-reweight column;
+- ``assign_splits``: disjoint train/val/test by frac thresholds — the
+  same hash makes the split stable under corpus growth (a doc never
+  migrates between splits when new docs arrive).
+
+A SALT argument namespaces the hash so sampling and splitting are
+independent draws (frac_sample ⟂ frac_split).
+
+md5 is used for engine-portable parity with the DuckDB oracle; swap to
+xxhash64 at production scale for ~10× hash throughput (shape identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_HEX = "0123456789abcdef"
+
+
+def hash_frac(key: Column, salt: str = "") -> Column:
+    """Uniform [0,1) from the first 8 hex nibbles of md5(salt || key) —
+    built from strpos arithmetic so Spark and DuckDB agree bit-for-bit."""
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    val = F.lit(0).cast("long")
+    for i in range(8):
+        nib = F.instr(F.lit(_HEX), F.substring(h, i + 1, 1)) - 1
+        val = val * 16 + nib.cast("long")
+    return val / F.lit(float(2**32))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = "sample:"
+) -> DataFrame:
+    """Deterministic subsample: keep rows with hash_frac(key) < rate."""
+    return df.filter(hash_frac(F.col(key_col), salt) < rate)
+
+
+def stratified_rates(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: DataFrame,
+    default_rate: float = 0.1,
+    salt: str = "sample:",
+) -> DataFrame:
+    """Training-mix sampling: per-stratum keep rate from a broadcast dim
+    ``rates`` (strata, rate). Adds ``weight`` = 1/rate for loss
+    reweighting. Unknown strata fall back to ``default_rate``."""
+    joined = df.join(
+        F.broadcast(rates.withColumnRenamed("strata", strata_col)),
+        strata_col,
+        "left",
+    ).withColumn("rate", F.coalesce("rate", F.lit(default_rate)))
+    return (
+        joined.filter(hash_frac(F.col(key_col), salt) < F.col("rate"))
+        .withColumn("weight", F.lit(1.0) / F.col("rate"))
+    )
+
+
+def mix_rates(spark: SparkSession, rates: dict[str, float]) -> DataFrame:
+    return spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()], "strata string, rate double"
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    key_col: str,
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split:",
+) -> DataFrame:
+    """Adds ``split`` ∈ {train, val, test}: frac < train → train,
+    < train+val → val, else test. Hash-stable: rows never migrate."""
+    frac = hash_frac(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(frac < train, "train")
+        .when(frac < train + val, "val")
+        .otherwise("test"),
+    )

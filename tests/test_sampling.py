@@ -1,0 +1,79 @@
+"""Deterministic hash sampling / split assignment tests: ops/sampling.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark.ops import sampling
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from docling_spark.job import tuned_session
+
+    s = tuned_session(master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_sample_deterministic_and_monotone(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = set(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect())
+    b = set(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.3).collect())
+    assert a == b  # same rows every run
+    big = set(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.6).collect())
+    assert a <= big  # rate increase only ADDS rows (nested samples)
+    assert 0.25 < len(a) / 2000 < 0.35  # ~rate
+
+
+def test_salt_namespaces_draws(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    s1 = set(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.5, salt="a:").collect())
+    s2 = set(r["doc_id"] for r in sampling.hash_sample(df, "doc_id", 0.5, salt="b:").collect())
+    assert s1 != s2
+
+
+def test_splits_disjoint_and_stable_under_growth(spark):
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    grown = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_splits(small, "doc_id").collect()
+    }
+    s_grown = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_splits(grown, "doc_id").collect()
+    }
+    # old docs never migrate when the corpus grows
+    assert all(s_grown[d] == s for d, s in s_small.items())
+    counts = {}
+    for v in s_grown.values():
+        counts[v] = counts.get(v, 0) + 1
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+
+
+def test_stratified_rates_and_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else ("xx" if i % 3 == 0 else "fr"))
+         for i in range(600)],
+        "doc_id long, lang string",
+    )
+    rates = sampling.mix_rates(spark, {"en": 1.0, "fr": 0.25})
+    out = sampling.stratified_rates(df, "doc_id", "lang", rates, default_rate=0.0)
+    rows = out.collect()
+    # en kept fully, weight 1; fr ~quarter, weight 4; unknown xx dropped
+    langs = {r["lang"] for r in rows}
+    assert "xx" not in langs
+    en = [r for r in rows if r["lang"] == "en"]
+    fr = [r for r in rows if r["lang"] == "fr"]
+    assert len(en) == 300 and all(r["weight"] == 1.0 for r in en)
+    assert 0 < len(fr) < 200 and all(r["weight"] == 4.0 for r in fr)
+
+
+def test_plan_no_shuffle_for_plain_sample(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    plan = (
+        sampling.hash_sample(df, "doc_id", 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # scan -> filter only
