@@ -1180,29 +1180,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,
         "uspto_extract": q_uspto_extract,
         # -- chunking / curation / training-data ops --------------------
-        "chunk_pack_bpe": q_chunk_pack_bpe,
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
         "curate": q_curate,
         "gopher_quality": q_gopher_quality,
-        "c4_clean": q_c4_clean,
         "c4_span_removal": q_c4_span_removal,
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
-        "ivf_kmeans_search": q_ivf_kmeans_search,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
-        "embedding_dups_exact": q_embedding_dups_exact,
         "ivf_search": q_ivf_search,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # -- relational checklist ---------------------------------------
@@ -1210,12 +1205,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": q_resume_antijoin,
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
+        "salted_agg": q_salted_agg,  # plan-pinned skew pattern
         # -- multimodal (ALL real codecs gate this one row) -------------
         "mm_codecs": q_mm_codecs,
         # -- relational checklist (window dedup) ------------------------
         "dedup_latest": q_dedup_latest,
-        # -- tail: value-redundant with an earlier entry ----------------
-        "salted_agg": q_salted_agg,  # result == plain agg (plan-pinned)
+        # -- tail: value-redundant with / weaker than an earlier entry --
+        "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
+        "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
+        "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
+        "chunk_pack_bpe": q_chunk_pack_bpe,  # bpe-lite, superseded by _full
+        "c4_clean": q_c4_clean,  # filter subset of c4_span_removal
         "structured_extract": q_structured_extract,  # shape slice of structured_fields
         "spans_export": q_spans_export,  # relational grain of doc_json (25/25 golden)
         "pdf_spans": q_pdf_spans,  # span grain of pdf_struct_spans + pdf_extract

@@ -35,6 +35,9 @@ HEADLINE = [
     "dedup_clusters",
     "gopher_quality",
     "c4_span_removal",
+    "url_filter",
+    "lm_quality",
+    "corpus_mix",
     "simhash",
     "token_count",
     "quality_score",
