@@ -944,6 +944,49 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed RefinedWeb-shaped pipeline in ONE plan: URL gate
+    (blocklist + keyword/spam/depth) → Gopher repetition/quality gate →
+    LM perplexity bucket, with stage-prefixed first-failing reasons.
+    Per-stage verdicts are slim (doc_id, reason) frames joined on the
+    key — at scale three co-partitioned exchanges of verdict rows, never
+    a second pass over the text."""
+    from docling_spark.ops import lm_quality as lmq
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.webtext import (
+        gopher_filter,
+        repetition_signals,
+        synth_webtext,
+    )
+
+    wt = synth_webtext(spark, sf_dir)
+    gq = gopher_filter(repetition_signals(wt)).select(
+        "doc_id", F.col("reject_reason").alias("gopher_reason")
+    )
+    uf = urlfilter.url_filter(
+        urlfilter.synth_urls(wt.select("doc_id")), urlfilter.blocked_domains(spark)
+    ).select("doc_id", F.col("reason").alias("url_reason"))
+    lm = lmq.train_unigram_lm(
+        wt.filter(F.col("doc_id") < 300), text_col="wtext"
+    )
+    lb = lmq.lm_score(wt, lm, text_col="wtext", head=3.3, tail=9.0).select(
+        "doc_id", "bucket"
+    )
+    out = uf.join(gq, "doc_id").join(lb, "doc_id")
+    reason = (
+        F.when(F.col("url_reason") != "keep", F.concat(F.lit("url:"), "url_reason"))
+        .when(
+            F.col("gopher_reason") != "keep",
+            F.concat(F.lit("gopher:"), "gopher_reason"),
+        )
+        .when(F.col("bucket") == "tail", "lm_tail")
+        .otherwise("keep")
+    )
+    return out.select(
+        "doc_id", reason.alias("reason"), (reason == "keep").alias("keep")
+    )
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1189,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
+        "curate_web": q_curate_web,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1196,7 +1240,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
         "cosine_topk": q_cosine_topk,
         "ivf_search": q_ivf_search,
         "embedding_dups_lsh": q_embedding_dups_lsh,
@@ -1211,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational checklist (window dedup) ------------------------
         "dedup_latest": q_dedup_latest,
         # -- tail: value-redundant with / weaker than an earlier entry --
+        "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -1273,6 +1317,56 @@ def _corpus_mix_oracle() -> str:
                     WHEN {fp} < 0.95 THEN 'val'
                     ELSE 'test' END AS split
         FROM s
+    """
+
+
+def _curate_web_oracle() -> str:
+    """Composite oracle: the three stage oracles as nested CTEs joined
+    on doc_id, same stage order and reason prefixes as q_curate_web."""
+    from docling_spark.ops.webtext import SIGNALS_ORACLE_SQL, WEBTEXT_CTE_SQL
+
+    lm_cte = f"""
+      WITH {WEBTEXT_CTE_SQL},
+      rw AS (
+        SELECT unnest(string_split_regex(lower(wtext), '\\s+')) AS token
+        FROM wt WHERE doc_id < 300),
+      c AS (SELECT token, count(*) AS cnt FROM rw
+            WHERE token != '' GROUP BY token),
+      t AS (SELECT sum(cnt) AS total FROM c),
+      lmt AS (SELECT token, round(ln(total / cnt) * 1024) / 1024 AS nll
+              FROM c, t),
+      dw AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(wtext), '\\s+')) AS token
+        FROM wt),
+      s AS (
+        SELECT d.doc_id, count(*) AS n_tokens,
+               sum(coalesce(lmt.nll, 16.0)) AS sum_nll
+        FROM (SELECT * FROM dw WHERE token != '') d
+        LEFT JOIN lmt USING (token)
+        GROUP BY d.doc_id)
+      SELECT doc_id,
+             CASE WHEN sum_nll / n_tokens < 3.3 THEN 'head'
+                  WHEN sum_nll / n_tokens < 9.0 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM s
+    """
+    return f"""
+        WITH g AS ({SIGNALS_ORACLE_SQL}),
+        u AS ({_urlfilter_oracle()}),
+        l AS ({lm_cte})
+        SELECT g.doc_id,
+               CASE WHEN u.reason != 'keep' THEN 'url:' || u.reason
+                    WHEN g.reject_reason != 'keep'
+                      THEN 'gopher:' || g.reject_reason
+                    WHEN l.bucket = 'tail' THEN 'lm_tail'
+                    ELSE 'keep' END AS reason,
+               (CASE WHEN u.reason != 'keep' THEN 'url:' || u.reason
+                     WHEN g.reject_reason != 'keep'
+                       THEN 'gopher:' || g.reject_reason
+                     WHEN l.bucket = 'tail' THEN 'lm_tail'
+                     ELSE 'keep' END) = 'keep' AS keep
+        FROM g JOIN u USING (doc_id) JOIN l USING (doc_id)
     """
 
 
@@ -2180,6 +2274,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "url_filter": _urlfilter_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
+        "curate_web": _curate_web_oracle(),
         "lm_quality": """
             WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),
             rw AS (

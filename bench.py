@@ -38,6 +38,7 @@ HEADLINE = [
     "url_filter",
     "lm_quality",
     "corpus_mix",
+    "curate_web",
     "simhash",
     "token_count",
     "quality_score",
