@@ -987,6 +987,19 @@ def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/decontam.py): GPT-3-style 13-gram
+    overlap flags vs an eval-set dim (docs with doc_id % 37 == 0) over
+    the duplicated corpus — exact copies of contaminated docs flag too.
+    Explode → broadcast join → map-side re-collapse; one slim exchange."""
+    from docling_spark.ops import decontam
+
+    docs = _docs(spark, sf_dir)
+    bench = decontam.benchmark_grams(docs.filter(F.col("doc_id") % 37 == 0))
+    corpus = _with_dups(docs.filter(F.col("doc_id") < 200))
+    return decontam.decontaminate(corpus, bench)
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1208,7 +1221,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,
         "span_offsets": q_span_offsets,
         "chunk_spans": q_chunk_spans,
-        "doctags_export": q_doctags_export,
         "table_cells": q_table_cells,
         "warc_extract": q_warc_extract,
         "pdf_struct_spans": q_pdf_struct_spans,
@@ -1233,6 +1245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
         "curate_web": q_curate_web,
+        "decontam": q_decontam,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1255,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_latest": q_dedup_latest,
         # -- tail: value-redundant with / weaker than an earlier entry --
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
+        "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -2275,6 +2289,42 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),
+        "decontam": f"""
+            WITH {_DUPS_CTE[5:]},
+            corpus AS (SELECT * FROM docs2
+                       WHERE doc_id < 200 OR doc_id >= 100000),
+            tb AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t != '') AS toks
+                   FROM documents WHERE doc_id % 37 = 0),
+            bench AS (
+              SELECT DISTINCT
+                unnest(list_transform(
+                  range(1, len(toks) - least(13, len(toks)) + 2),
+                  i -> md5(array_to_string(
+                         list_slice(toks, i, i + least(13, len(toks)) - 1),
+                         ' ')))) AS gram
+              FROM tb),
+            tc AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t != '') AS toks
+                   FROM corpus),
+            g AS (
+              SELECT doc_id,
+                unnest(list_transform(
+                  range(1, len(toks) - least(13, len(toks)) + 2),
+                  i -> md5(array_to_string(
+                         list_slice(toks, i, i + least(13, len(toks)) - 1),
+                         ' ')))) AS gram
+              FROM tc)
+            SELECT g.doc_id, count(*) AS n_grams,
+                   CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+                     AS contaminated
+            FROM g LEFT JOIN bench b USING (gram)
+            GROUP BY g.doc_id
+        """,
         "lm_quality": """
             WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),
             rw AS (
