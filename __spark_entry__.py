@@ -1000,6 +1000,18 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(corpus, bench)
 
 
+def q_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (ops/decontam.scrub_contaminated_spans):
+    tokens under any benchmark-overlapping 13-gram window are excised and
+    the text rebuilt — the keep-the-doc alternative to dropping it."""
+    from docling_spark.ops import decontam
+
+    docs = _docs(spark, sf_dir)
+    bench = decontam.benchmark_grams(docs.filter(F.col("doc_id") % 37 == 0))
+    corpus = _with_dups(docs.filter(F.col("doc_id") < 200))
+    return decontam.scrub_contaminated_spans(corpus, bench)
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1225,7 +1237,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_extract": q_warc_extract,
         "pdf_struct_spans": q_pdf_struct_spans,
         "pdf_pictures": q_pdf_pictures,
-        "pdf_chunks": q_pdf_chunks,
         # -- conversion backends ----------------------------------------
         "md_extract": q_md_extract,
         "ofd_extract": q_ofd_extract,
@@ -1246,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "curate_web": q_curate_web,
         "decontam": q_decontam,
+        "decontam_scrub": q_decontam_scrub,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1269,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: value-redundant with / weaker than an earlier entry --
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
+        "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -2324,6 +2337,52 @@ def oracle_sql() -> dict[str, str]:
                      AS contaminated
             FROM g LEFT JOIN bench b USING (gram)
             GROUP BY g.doc_id
+        """,
+        "decontam_scrub": f"""
+            WITH {_DUPS_CTE[5:]},
+            corpus AS (SELECT * FROM docs2
+                       WHERE doc_id < 200 OR doc_id >= 100000),
+            tb AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t != '') AS toks
+                   FROM documents WHERE doc_id % 37 = 0),
+            bench AS (
+              SELECT DISTINCT
+                unnest(list_transform(
+                  range(1, len(toks) - least(13, len(toks)) + 2),
+                  i -> md5(array_to_string(
+                         list_slice(toks, i, i + least(13, len(toks)) - 1),
+                         ' ')))) AS gram
+              FROM tb),
+            tc AS (SELECT doc_id,
+                          list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t != '') AS toks
+                   FROM corpus),
+            g AS (
+              SELECT tc.doc_id, r.i - 1 AS pos,
+                     md5(array_to_string(
+                       list_slice(tc.toks, r.i,
+                                  r.i + least(13, len(tc.toks)) - 1),
+                       ' ')) AS gram
+              FROM tc, LATERAL (
+                SELECT unnest(range(1,
+                  len(tc.toks) - least(13, len(tc.toks)) + 2)) AS i) r),
+            h AS (SELECT g.doc_id, list(g.pos) AS starts
+                  FROM g JOIN bench b USING (gram) GROUP BY g.doc_id),
+            j AS (SELECT tc.doc_id, tc.toks,
+                         least(13, len(tc.toks)) AS n_eff,
+                         coalesce(h.starts, []) AS starts
+                  FROM tc LEFT JOIN h USING (doc_id)),
+            k AS (SELECT doc_id, toks,
+                         list_filter(toks, (t, jj) ->
+                           len(list_filter(starts, s ->
+                             s <= jj - 1 AND jj - 1 < s + n_eff)) = 0)
+                           AS kept
+                  FROM j)
+            SELECT doc_id,
+                   coalesce(array_to_string(kept, ' '), '') AS clean_text,
+                   CAST(len(toks) - len(kept) AS INTEGER) AS n_removed
+            FROM k
         """,
         "lm_quality": """
             WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),

@@ -49,6 +49,54 @@ def benchmark_grams(benchmarks: DataFrame, text_col: str = "text", n: int = 13) 
     )
 
 
+def scrub_contaminated_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Span-level alternative to dropping the whole doc: every token
+    covered by a contaminated N-gram window is removed and the text is
+    rebuilt (single-space re-joined — token-normalized output).
+
+    Shape: positional gram explode (in-partition) → broadcast join with
+    the eval dim (inner: only HITS survive, usually a tiny fraction) →
+    per-doc start-list agg → join back to the corpus. AQE turns that
+    join-back into a broadcast join at runtime when the hit set is small
+    (the common case); the rebuild is an in-row indexed lambda filter,
+    the same pattern as C4 span removal (ops/c4.py)."""
+    toks = _tokens(F.col(text_col))
+    sz = F.size(toks)
+    n_eff = F.least(F.lit(n), sz)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(ngram_hashes(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    joined = docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("__toks"),
+        n_eff.alias("__n_eff"),
+        F.coalesce("starts", F.array().cast("array<int>")).alias("__starts"),
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, j: ~F.exists(
+            F.col("__starts"),
+            lambda s: (s <= j) & (j < s + F.col("__n_eff")),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

@@ -66,6 +66,40 @@ def test_case_and_whitespace_normalized(spark):
     assert out[1]["contaminated"] is True
 
 
+def test_scrub_removes_only_covered_tokens(spark):
+    corpus = spark.createDataFrame(
+        [(1, "aa bb " + W + " yy zz"), (2, "clean doc with no overlap here")],
+        "doc_id long, text string",
+    )
+    bench = decontam.benchmark_grams(
+        spark.createDataFrame([(100, W)], "doc_id long, text string")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontam.scrub_contaminated_spans(corpus, bench).collect()
+    }
+    assert out[1]["clean_text"] == "aa bb yy zz"
+    assert out[1]["n_removed"] == 13
+    # untouched docs come back token-normalized with zero removals
+    assert out[2]["clean_text"] == "clean doc with no overlap here"
+    assert out[2]["n_removed"] == 0
+
+
+def test_scrub_overlapping_windows_union(spark):
+    # benchmark is 14 tokens -> two overlapping 13-gram windows in a doc
+    # that embeds all 14: both windows hit, union covers all 14 tokens
+    w14 = W + " nov"
+    corpus = spark.createDataFrame(
+        [(1, "x " + w14 + " y")], "doc_id long, text string"
+    )
+    bench = decontam.benchmark_grams(
+        spark.createDataFrame([(100, w14)], "doc_id long, text string")
+    )
+    row = decontam.scrub_contaminated_spans(corpus, bench).collect()[0]
+    assert row["clean_text"] == "x y"
+    assert row["n_removed"] == 14
+
+
 def test_plan_broadcast_no_smj(spark):
     docs = spark.createDataFrame(
         [(i, W + f" tail{i}") for i in range(20)], "doc_id long, text string"
