@@ -677,8 +677,16 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("s_webp_height"),
         F.col("channels").alias("s_webp_channels"),
     )
+    mp4 = mm.mp4_meta(media, col="mp4").select(
+        "doc_id",
+        F.col("brand").alias("m_brand"),
+        F.col("duration_ms").alias("m_duration_ms"),
+        F.col("width").alias("m_width"),
+        F.col("height").alias("m_height"),
+        F.col("n_tracks").alias("m_tracks"),
+    )
     out = meta
-    for d in (feats, rez, jm, jf, wav, wavf, gif, apng, tif, bmp, webp):
+    for d in (feats, rez, jm, jf, wav, wavf, gif, apng, tif, bmp, webp, mp4):
         out = out.join(d, "doc_id")
     return out
 
@@ -2146,7 +2154,16 @@ def oracle_sql() -> dict[str, str]:
                    3 AS s_bmp_channels,
                    CAST(16 + d.doc_id % 32 AS INTEGER) AS s_webp_width,
                    CAST(8 + d.doc_id % 16 AS INTEGER) AS s_webp_height,
-                   CAST(3 + d.doc_id % 2 AS INTEGER) AS s_webp_channels
+                   CAST(3 + d.doc_id % 2 AS INTEGER) AS s_webp_channels,
+                   -- MP4 law (ops/mp4.py): ts 600, dur units
+                   -- 600*(3+id%27)+id%7, trak dims, brand cycle
+                   list_extract(['isom', 'mp42', 'avc1'],
+                                CAST(d.doc_id % 3 AS INTEGER) + 1) AS m_brand,
+                   (600 * (3 + d.doc_id % 27) + d.doc_id % 7) * 1000 // 600
+                       AS m_duration_ms,
+                   CAST(160 + 16 * (d.doc_id % 20) AS INTEGER) AS m_width,
+                   CAST(120 + 16 * (d.doc_id % 15) AS INTEGER) AS m_height,
+                   CAST(1 + d.doc_id % 2 AS INTEGER) AS m_tracks
             FROM documents d
         """,
         "mm_png_ops": """

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .mp4 import build_mp4 as _build_mp4
+
 # deterministic per-doc parameters (the oracle recomputes these in SQL)
 def _img_params(doc_id: int) -> tuple[int, int, int, int]:
     w = 16 + doc_id % 32
@@ -281,6 +283,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "gif": [make_gif_header(i) for i in ids],
                     "bmp": [make_bmp_header(i) for i in ids],
                     "webp": [make_webp_header(i) for i in ids],
+                    "mp4": [_build_mp4(i) for i in ids],
                 }
             )
 
@@ -290,7 +293,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, image binary, png binary, video binary, "
             "gif_video binary, apng_video binary, audio binary, "
             "wav binary, jpeg binary, jpeg_full binary, tiff binary, "
-            "gif binary, bmp binary, webp binary"
+            "gif binary, bmp binary, webp binary, mp4 binary"
         ),
     )
 
@@ -551,6 +554,44 @@ def audio_meta(media: DataFrame, col: str = "audio") -> DataFrame:
 
     return media.select("doc_id", col).mapInPandas(
         run, schema="doc_id long, rate int, n_samples int, duration_ms double"
+    )
+
+
+def mp4_meta(media: DataFrame, col: str = "mp4") -> DataFrame:
+    """ISO-BMFF container metadata (ops/mp4.parse_mp4): ftyp brand, mvhd
+    timescale → duration, max trak tkhd dims, track count. Real box walk
+    over real container bytes; sample decode stays behind the codec seam."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import parse_mp4
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                m = parse_mp4(bytes(blob))
+                rows.append(
+                    (
+                        int(doc_id),
+                        m["brand"],
+                        m["duration_ms"],
+                        m["width"],
+                        m["height"],
+                        m["n_tracks"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "duration_ms", "width", "height", "n_tracks"
+                ],
+            )
+
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, brand string, duration_ms long, width int, "
+            "height int, n_tracks int"
+        ),
     )
 
 

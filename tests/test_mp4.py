@@ -1,0 +1,56 @@
+"""ISO-BMFF container tests: ops/mp4.py builder + parser."""
+
+import struct
+
+import pytest
+
+from docling_spark.ops.mp4 import _box, build_mp4, parse_mp4
+
+
+def test_law_roundtrip_exhaustive():
+    for i in range(0, 300):
+        m = parse_mp4(build_mp4(i))
+        assert m["timescale"] == 600
+        assert m["duration_ms"] == (600 * (3 + i % 27) + i % 7) * 1000 // 600
+        assert m["width"] == 160 + 16 * (i % 20)
+        assert m["height"] == 120 + 16 * (i % 15)
+        assert m["n_tracks"] == 1 + i % 2
+        assert m["brand"] == ["isom", "mp42", "avc1"][i % 3]
+
+
+def test_version1_64bit_times():
+    # doc_id % 5 == 0 builds version-1 mvhd/tkhd
+    m = parse_mp4(build_mp4(5))
+    assert m["duration_ms"] == (600 * (3 + 5 % 27) + 5) * 1000 // 600
+
+
+def test_largesize_mdat_parses():
+    blob = build_mp4(11)  # doc_id % 11 == 0 -> largesize mdat
+    assert struct.pack(">I", 1) in blob  # the largesize marker exists
+    assert parse_mp4(blob)["n_tracks"] == 2
+
+
+def test_size_zero_box_extends_to_eof():
+    blob = build_mp4(2)
+    # rewrite the trailing mdat header to size=0 (extends to EOF)
+    idx = blob.rindex(b"mdat") - 4
+    blob = blob[:idx] + struct.pack(">I", 0) + blob[idx + 4 :]
+    assert parse_mp4(blob)["brand"] == "avc1"
+
+
+def test_unknown_boxes_skipped():
+    blob = build_mp4(3)
+    blob = _box(b"xxxx", b"junkjunk") + blob + _box(b"yyyy", b"")
+    assert parse_mp4(blob)["width"] == 160 + 16 * 3
+
+
+def test_rejects_non_bmff():
+    for bad in (b"", b"RIFF0000WAVE", b"\x89PNG\r\n\x1a\n", b"A" * 64):
+        with pytest.raises(ValueError):
+            parse_mp4(bad)
+
+
+def test_rejects_truncated_moov():
+    blob = build_mp4(7)
+    with pytest.raises(ValueError):
+        parse_mp4(blob[: len(blob) // 3] )
