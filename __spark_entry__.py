@@ -1435,7 +1435,8 @@ def _urlfilter_oracle() -> str:
           FROM documents),
         f AS (
           SELECT doc_id, url, lower(url) AS lu,
-                 regexp_extract(lower(url), '^[a-z]+://([^/?#]+)', 1) AS host
+                 regexp_extract(lower(url),
+                   '^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)', 1) AS host
           FROM u),
         g AS (
           SELECT doc_id, url, host,
@@ -1449,7 +1450,8 @@ def _urlfilter_oracle() -> str:
           FROM f),
         r AS (
           SELECT doc_id, url, host,
-            CASE WHEN blocked THEN 'blocked_domain'
+            CASE WHEN url IS NULL OR host = '' THEN 'invalid_url'
+                 WHEN blocked THEN 'blocked_domain'
                  WHEN hard >= 1 THEN 'hard_keyword'
                  WHEN soft >= 2 THEN 'soft_keywords'
                  WHEN spam THEN 'spam_query'

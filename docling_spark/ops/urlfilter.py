@@ -103,7 +103,10 @@ def synth_urls(docs: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------ operator
 def url_host(url: Column) -> Column:
-    return F.regexp_extract(url, r"^[a-z]+://([^/?#]+)", 1)
+    """Hostname only: scheme required, optional userinfo@ stripped,
+    :port stripped — so `evil.example:8080` still matches a blocklisted
+    `evil.example`."""
+    return F.regexp_extract(url, r"^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1)
 
 
 def _suffixes(host: Column) -> Column:
@@ -137,11 +140,13 @@ def url_filter(
     # re-collapse. The partial HashAggregate merges a doc's rows MAP-SIDE,
     # so the one exchange carries ~1 slim row per doc — no second corpus
     # scan, no sort-merge join-back.
+    # explode_outer: rows with a null/unparseable url must NOT vanish —
+    # they surface as reason=invalid_url below
     sfx = df.select(
         "doc_id",
         F.col(url_col).alias("__url"),
         "host",
-        F.explode(_suffixes(F.col("host"))).alias("domain"),
+        F.explode_outer(_suffixes(F.col("host"))).alias("domain"),
     )
     df = (
         sfx.join(
@@ -162,7 +167,10 @@ def url_filter(
     depth = F.size(F.filter(F.split(F.regexp_extract(url, r"^[a-z]+://[^/?#]+([^?#]*)", 1), "/"), lambda s: s != ""))
     spam = F.regexp_count(url, F.lit(r"\d{%d,}" % SPAM_DIGIT_RUN)) > 0
     reason = (
-        F.when(F.col("blocked").isNotNull(), "blocked_domain")
+        F.when(
+            F.col(url_col).isNull() | (F.col("host") == ""), "invalid_url"
+        )
+        .when(F.col("blocked").isNotNull(), "blocked_domain")
         .when(hard >= 1, "hard_keyword")
         .when(soft >= 2, "soft_keywords")
         .when(spam, "spam_query")

@@ -78,6 +78,27 @@ def test_synth_corpus_exercises_every_reason(spark):
     }
 
 
+def test_hostile_urls(spark):
+    res = _run(
+        spark,
+        [
+            (1, None),                                # null url survives
+            (2, ""),                                  # empty
+            (3, "no-scheme-here"),                    # unparseable
+            (4, "https://bad.example:8080/x"),        # port must not evade
+            (5, "https://user:pw@bad.example/x"),     # userinfo stripped
+            (6, "https://ünïcode.example/ok"),
+        ],
+    )
+    assert res[1] == "invalid_url"
+    assert res[2] == "invalid_url"
+    assert res[3] == "invalid_url"
+    assert res[4] == "blocked_domain"
+    assert res[5] == "blocked_domain"
+    assert res[6] == "keep"
+    assert len(res) == 6  # nothing silently dropped
+
+
 def test_plan_single_broadcast_join(spark):
     docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
     out = urlfilter.url_filter(
