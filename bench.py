@@ -39,6 +39,7 @@ HEADLINE = [
     "lm_quality",
     "corpus_mix",
     "curate_web",
+    "decontam",
     "simhash",
     "token_count",
     "quality_score",
