@@ -1020,6 +1020,19 @@ def q_decontam_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.scrub_contaminated_spans(corpus, bench)
 
 
+def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental dedup (ops/bloom.py): fold the historical
+    slice (doc_id < 300) into a set-bit table, then flag a NEW batch
+    (200 ≤ doc_id < 500; 200-299 are true dups) by broadcast membership —
+    history is never rescanned. No false negatives by construction."""
+    from docling_spark.ops import bloom
+
+    docs = _docs(spark, sf_dir)
+    filt = bloom.bloom_build(docs.filter(F.col("doc_id") < 300), "text")
+    batch = docs.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 500))
+    return bloom.bloom_maybe_dup(batch, filt, "text")
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1238,7 +1251,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_doctags": q_pdf_doctags,
         "mixed_dispatch": q_mixed_dispatch,
         "csv_extract": q_csv_extract,
-        "size_limits": q_size_limits,
         "span_offsets": q_span_offsets,
         "chunk_spans": q_chunk_spans,
         "table_cells": q_table_cells,
@@ -1266,6 +1278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_web": q_curate_web,
         "decontam": q_decontam,
         "decontam_scrub": q_decontam_scrub,
+        "bloom_dedup": q_bloom_dedup,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1290,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
+        "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -1332,6 +1346,42 @@ def _hash_frac_sql(salt: str, key: str = "doc_id") -> str:
         )
         expr = f"({expr} * 16 + {nib})"
     return f"({expr} / 4294967296.0)"
+
+
+def _bloom_pos_sql(i: int, key: str, m: int) -> str:
+    """DuckDB mirror of ops/bloom._hash_pos (Horner over 8 nibbles, mod m)."""
+    expr = "0"
+    for j in range(1, 9):
+        nib = (
+            f"(strpos('0123456789abcdef', substring(md5('bloom:{i}:' || "
+            f"{key}), {j}, 1)) - 1)"
+        )
+        expr = f"({expr} * 16 + {nib})"
+    return f"({expr} % {m})"
+
+
+def _bloom_oracle() -> str:
+    from docling_spark.ops.bloom import DEFAULT_K, DEFAULT_M
+
+    hist_pos = " UNION ".join(
+        f"SELECT {_bloom_pos_sql(i, 'md5(text)', DEFAULT_M)} AS pos "
+        "FROM documents WHERE doc_id < 300"
+        for i in range(DEFAULT_K)
+    )
+    cand_pos = " UNION ALL ".join(
+        f"SELECT doc_id, {_bloom_pos_sql(i, 'md5(text)', DEFAULT_M)} AS pos "
+        "FROM documents WHERE doc_id >= 200 AND doc_id < 500"
+        for i in range(DEFAULT_K)
+    )
+    return f"""
+        WITH bloom AS ({hist_pos}),
+        cand AS ({cand_pos})
+        SELECT c.doc_id,
+               CAST(sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) = {DEFAULT_K} AS maybe_dup
+        FROM cand c LEFT JOIN bloom b USING (pos)
+        GROUP BY c.doc_id
+    """
 
 
 def _corpus_mix_oracle() -> str:
@@ -2357,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
             FROM g LEFT JOIN bench b USING (gram)
             GROUP BY g.doc_id
         """,
+        "bloom_dedup": _bloom_oracle(),
         "decontam_scrub": f"""
             WITH {_DUPS_CTE[5:]},
             corpus AS (SELECT * FROM docs2

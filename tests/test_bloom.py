@@ -1,0 +1,82 @@
+"""Bloom-filter incremental dedup tests: ops/bloom.py."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_spark.ops import bloom
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from docling_spark.job import tuned_session
+
+    s = tuned_session(master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_no_false_negatives(spark):
+    hist = _df(spark, [(i, f"history document number {i}") for i in range(100)])
+    filt = bloom.bloom_build(hist, "text")
+    # a new batch repeating 20 historical texts must flag ALL of them
+    batch = _df(spark, [(1000 + i, f"history document number {i}") for i in range(20)])
+    out = bloom.bloom_maybe_dup(batch, filt, "text").collect()
+    assert all(r["maybe_dup"] for r in out) and len(out) == 20
+
+
+def test_fresh_docs_pass_at_design_fp_rate(spark):
+    hist = _df(spark, [(i, f"history document number {i}") for i in range(200)])
+    filt = bloom.bloom_build(hist, "text")
+    batch = _df(spark, [(5000 + i, f"completely fresh text {i}") for i in range(200)])
+    flagged = (
+        bloom.bloom_maybe_dup(batch, filt, "text")
+        .filter(F.col("maybe_dup"))
+        .count()
+    )
+    # m=2^18, k=3, n=200 -> FP ~ 1e-8; any flag would be a logic bug
+    assert flagged == 0
+
+
+def test_incremental_fold_union(spark):
+    """A second ingest folds in by union+distinct — the persistable shape."""
+    a = bloom.bloom_build(_df(spark, [(1, "batch one doc")]), "text")
+    b = bloom.bloom_build(_df(spark, [(2, "batch two doc")]), "text")
+    merged = a.union(b).distinct()
+    out = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom.bloom_maybe_dup(
+            _df(spark, [(10, "batch one doc"), (11, "batch two doc"), (12, "neither")]),
+            merged,
+            "text",
+        ).collect()
+    }
+    assert out == {10: True, 11: True, 12: False}
+
+
+def test_small_m_forces_false_positives_never_negatives(spark):
+    hist = _df(spark, [(i, f"doc {i}") for i in range(300)])
+    filt = bloom.bloom_build(hist, "text", m=256, k=3)  # saturated filter
+    batch = _df(
+        spark,
+        [(1000, "doc 5"), (1001, "something else entirely")],
+    )
+    out = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom.bloom_maybe_dup(batch, filt, "text", m=256, k=3).collect()
+    }
+    assert out[1000] is True  # true dup still flagged (no false negative)
+
+
+def test_plan_broadcast_no_smj(spark):
+    hist = _df(spark, [(i, f"h{i}") for i in range(50)])
+    filt = bloom.bloom_build(hist, "text")
+    plan = (
+        bloom.bloom_maybe_dup(_df(spark, [(1, "h1")]), filt, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
