@@ -175,3 +175,39 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # cross-batch duplicate suppressed via state
     assert got.select("doc_hash").distinct().count() == 3
+
+
+def test_curation_gates_stream_batch_parity(spark, tmp_path):
+    """The webtext curation gates (Gopher signals + keep/reject) are
+    stateless projections, so the SAME logical plan runs under
+    readStream — one plan, two drivers, identical verdicts."""
+    from docling_spark.ops.webtext import gopher_filter, repetition_signals, synth_webtext
+
+    inp = str(tmp_path / "wt_in")
+    ckpt = str(tmp_path / "wt_ckpt")
+    wt = synth_webtext(spark, SF)
+    wt.coalesce(1).write.mode("overwrite").parquet(inp)
+
+    stream_in = spark.readStream.schema(wt.schema).parquet(inp)
+    gated = gopher_filter(repetition_signals(stream_in)).select(
+        "doc_id", "reject_reason", "keep"
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("wt_gate")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in spark.sql("SELECT * FROM wt_gate").collect()
+    }
+    want = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in gopher_filter(repetition_signals(wt))
+        .select("doc_id", "reject_reason", "keep")
+        .collect()
+    }
+    assert got == want and len(got) > 0
