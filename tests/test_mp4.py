@@ -54,3 +54,25 @@ def test_rejects_truncated_moov():
     blob = build_mp4(7)
     with pytest.raises(ValueError):
         parse_mp4(blob[: len(blob) // 3] )
+
+
+def test_fuzz_no_hangs_or_crashes():
+    """Seeded byte fuzz: parse must either return or raise ValueError/
+    struct.error — never hang or throw anything else."""
+    import hashlib
+
+    for seed in range(200):
+        blob = hashlib.md5(f"fuzz:{seed}".encode()).digest() * (seed % 7 + 1)
+        try:
+            parse_mp4(blob)
+        except (ValueError, struct.error):
+            pass
+    # structured fuzz: valid container with corrupted interior bytes
+    base = bytearray(build_mp4(42))
+    for pos in range(0, len(base), 13):
+        mut = bytearray(base)
+        mut[pos] ^= 0xFF
+        try:
+            parse_mp4(bytes(mut))
+        except (ValueError, struct.error):
+            pass
