@@ -1033,6 +1033,21 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom.bloom_maybe_dup(batch, filt, "text")
 
 
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ compressed ANN (ops/pq.py): deterministic per-subspace Lloyd
+    codebooks → int codes (32x smaller than the float corpus) → literal
+    ADC-LUT scan, pure JVM, top-10. Rows-only at the driver gate
+    (iterative Lloyd, same adjudication as ivf_kmeans_search); recall
+    floor + determinism pinned in tests/test_pq.py."""
+    from docling_spark.ops import pq
+
+    emb = _emb(spark, sf_dir)
+    cb = pq.fit_pq_codebooks(emb)
+    codes = pq.pq_encode(emb, cb)
+    query = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return pq.pq_search(codes, cb, list(query), k=10)
+
+
 def q_ivf_kmeans_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k under the sampled-Lloyd k-means codebook
     (ops/ann.fit_codebook — deterministic spherical k-means on a bounded
@@ -1307,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
+        "pq_search": q_pq_search,  # rows-only by design (iterative Lloyd)
         "chunk_pack_bpe": q_chunk_pack_bpe,  # bpe-lite, superseded by _full
         "c4_clean": q_c4_clean,  # filter subset of c4_span_removal
         "structured_extract": q_structured_extract,  # shape slice of structured_fields
