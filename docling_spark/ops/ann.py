@@ -146,7 +146,8 @@ def fit_codebook(
     the resulting centroids. No randomness anywhere: init takes every
     (S/k)-th sample point, ties break by index, so the codebook is
     reproducible across runs and cluster sizes. For corpora where even the
-    SAMPLE can't fit a driver, swap this for a distributed k-means|| round
+    SAMPLE can't fit a driver, use :func:`fit_codebook_distributed`
+    (``codebook="kmeans_dist"``) — fully distributed Lloyd, no sample cap
     — the consumers (`ivf_assign`/`ivf_search`) only see a (centroid_id,
     centroid) frame either way."""
     import numpy as np
@@ -178,7 +179,92 @@ def fit_codebook(
     )
 
 
+def fit_codebook_distributed(
+    embeddings: DataFrame, n_centroids: int = 16, iters: int = 8
+) -> DataFrame:
+    """Spherical k-means with FULLY DISTRIBUTED Lloyd iterations — the
+    production path behind the `fit_codebook` driver-sample seam.
+
+    - init: the k vectors with the smallest md5(vec_id) — a deterministic
+      uniform pseudo-random seeding, one TakeOrdered, no RNG state;
+    - assign: one Arrow-batched pandas UDF per iteration computing
+      argmax-cosine against the broadcast (k × dim, tiny) centroids and
+      emitting PER-BATCH partial sums — k rows per batch, never a
+      per-vector shuffle;
+    - update: posexplode the k partial-sum vectors (k × dim slim rows)
+      → groupBy (cell, dim) sum → collect k×dim scalars → renormalize
+      on the driver. Per iteration the driver holds k×dim doubles and
+      the cluster shuffles k×dim×batches rows — independent of corpus
+      size. Empty cells keep their previous centroid.
+
+    Deterministic up to floating-point reduction order (the standard
+    distributed-k-means caveat); quality and convergence are pinned in
+    tests/test_ann_kmeans.py rather than bit equality."""
+    import numpy as np
+    from typing import Iterator
+
+    import pandas as pd
+
+    k = n_centroids
+    seed_rows = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    C = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+    for _ in range(iters):
+        C_cur = C.copy()
+
+        def partials(batches: "Iterator[pd.DataFrame]"):
+            for b in batches:
+                X = np.array(list(b["embedding"]), dtype=np.float64)
+                Xn = X / np.maximum(
+                    np.linalg.norm(X, axis=1, keepdims=True), 1e-12
+                )
+                assign = (Xn @ C_cur.T).argmax(axis=1)
+                rows = []
+                for j in range(len(C_cur)):
+                    members = Xn[assign == j]
+                    if len(members):
+                        rows.append(
+                            (int(j), [float(v) for v in members.sum(axis=0)],
+                             int(len(members)))
+                        )
+                yield pd.DataFrame(rows, columns=["cell", "vsum", "cnt"])
+
+        stats = (
+            embeddings.select("embedding")
+            .mapInPandas(
+                partials, schema="cell int, vsum array<double>, cnt long"
+            )
+            .select("cell", F.posexplode("vsum").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        newC = C.copy()
+        acc = np.zeros((k, dim))
+        seen = set()
+        for r in stats:
+            acc[r["cell"], r["pos"]] = r["s"]
+            seen.add(r["cell"])
+        for j in seen:
+            n = np.linalg.norm(acc[j])
+            if n > 1e-12:
+                newC[j] = acc[j] / n
+        C = newC
+    rows = [(int(j), [float(v) for v in C[j]]) for j in range(k)]
+    return embeddings.sparkSession.createDataFrame(
+        rows, schema="centroid_id int, centroid array<double>"
+    )
+
+
 def _centroids(embeddings: DataFrame, n_centroids: int, codebook: str) -> DataFrame:
+    if codebook == "kmeans_dist":
+        return fit_codebook_distributed(embeddings, n_centroids)
     if codebook == "kmeans":
         return fit_codebook(embeddings, n_centroids)
     # "seeded": the embedding of vec_id < n_centroids — weaker cells but

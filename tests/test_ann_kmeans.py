@@ -76,3 +76,46 @@ def test_kmeans_recall_beats_seeded(emb):
     km, seeded = mean_recall("kmeans"), mean_recall("seeded")
     assert km >= seeded, (km, seeded)
     assert km >= 0.5  # nprobe=4 of 16 cells must still find most neighbors
+
+
+def test_distributed_lloyd_shape_and_norm(emb):
+    rows = ann.fit_codebook_distributed(emb, 8, iters=4).collect()
+    assert len(rows) == 8
+    for r in rows:
+        norm = sum(v * v for v in r.centroid) ** 0.5
+        assert abs(norm - 1.0) < 1e-9
+
+
+def test_distributed_lloyd_recall_matches_sampled(emb):
+    """The distributed trainer (no driver-sample cap) must be at least as
+    good as the sampled trainer on nprobe recall — it sees ALL points."""
+    queries = [3, 57, 111, 230, 404]
+    k = 10
+
+    def mean_recall(codebook: str) -> float:
+        tot = 0.0
+        for q in queries:
+            exact = {r.vec_id for r in ann.cosine_topk(emb, query_id=q, k=k).collect()}
+            got = {
+                r.vec_id
+                for r in ann.ivf_search(
+                    emb, query_id=q, k=k, n_centroids=16, nprobe=4,
+                    codebook=codebook,
+                ).collect()
+            }
+            tot += len(got & exact) / k
+        return tot / len(queries)
+
+    dist, seeded = mean_recall("kmeans_dist"), mean_recall("seeded")
+    assert dist >= seeded, (dist, seeded)
+    assert dist >= 0.5
+
+
+def test_distributed_lloyd_stable_assignments(emb):
+    """Bit equality is not guaranteed under distributed float reduction,
+    but cell ASSIGNMENTS must be stable across two fits on this data."""
+    c1 = ann.fit_codebook_distributed(emb, 8, iters=4)
+    c2 = ann.fit_codebook_distributed(emb, 8, iters=4)
+    a1 = {r.vec_id: r.centroid_id for r in ann.ivf_assign(emb, 8, cents=c1).collect()}
+    a2 = {r.vec_id: r.centroid_id for r in ann.ivf_assign(emb, 8, cents=c2).collect()}
+    assert a1 == a2
