@@ -1033,6 +1033,19 @@ def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom.bloom_maybe_dup(batch, filt, "text")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (ops/graph.py): deterministic hyperlink law →
+    10 power iterations, each materialized by an eager localCheckpoint
+    (lazy composition would triple the plan per iteration — see the
+    module docstring). Full value oracle: DuckDB unrolls the same 10
+    iterations as chained CTEs — every rank value-checked to 6 dp."""
+    from docling_spark.ops import graph
+
+    docs = _docs(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return graph.pagerank(nodes, graph.synth_links(docs), iters=10)
+
+
 def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ compressed ANN (ops/pq.py): deterministic per-subspace Lloyd
     codebooks → int codes (32x smaller than the float corpus) → literal
@@ -1278,7 +1291,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doctags_extract": q_doctags_extract,
         "asciidoc_extract": q_asciidoc_extract,
         "docx_extract": q_docx_extract,
-        "xlsx_extract": q_xlsx_extract,
         "uspto_extract": q_uspto_extract,
         # -- chunking / curation / training-data ops --------------------
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
@@ -1294,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam": q_decontam,
         "decontam_scrub": q_decontam_scrub,
         "bloom_dedup": q_bloom_dedup,
+        "pagerank": q_pagerank,
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
+        "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -1362,6 +1376,48 @@ def _hash_frac_sql(salt: str, key: str = "doc_id") -> str:
         )
         expr = f"({expr} * 16 + {nib})"
     return f"({expr} / 4294967296.0)"
+
+
+def _pagerank_oracle(iters: int = 10, d: float = 0.85) -> str:
+    """DuckDB mirror of ops/graph.pagerank: the same power iterations
+    UNROLLED as chained CTEs (recursive CTEs cannot aggregate)."""
+    steps = []
+    for k in range(1, iters + 1):
+        prev = f"pr{k - 1}"
+        steps.append(f"""
+        pr{k} AS MATERIALIZED (
+          SELECT n.node,
+                 (1 - {d}) / cnt.n
+                 + {d} * (coalesce(c.contrib, 0) + dang.mass / cnt.n) AS rank
+          FROM nodes n
+          CROSS JOIN cnt
+          CROSS JOIN (SELECT coalesce(sum(p.rank), 0) AS mass
+                      FROM {prev} p LEFT JOIN deg ON p.node = deg.src
+                      WHERE deg.src IS NULL) dang
+          LEFT JOIN (SELECT e.dst AS node, sum(p.rank / dg.deg) AS contrib
+                     FROM {prev} p JOIN edges e ON e.src = p.node
+                     JOIN deg dg ON dg.src = e.src
+                     GROUP BY e.dst) c ON c.node = n.node
+        )""")
+    return f"""
+        WITH nodes AS (SELECT doc_id AS node FROM documents),
+        cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        cnt_i AS (SELECT count(*) AS ni FROM documents),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT d.doc_id AS src,
+                 CAST((d.doc_id * 7 + 13 * j.j) % cnt_i.ni AS BIGINT) AS dst
+          FROM documents d
+          CROSS JOIN cnt_i,
+          LATERAL (SELECT unnest(range(1,
+                     CAST(d.doc_id % 4 + 1 AS INTEGER) + 1)) AS j) j
+          WHERE (d.doc_id * 7 + 13 * j.j) % cnt_i.ni != d.doc_id),
+        deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+                FROM edges GROUP BY src),
+        pr0 AS MATERIALIZED (SELECT node, 1.0 / cnt.n AS rank
+                FROM nodes, cnt),
+        {",".join(steps)}
+        SELECT node, round(rank, 6) AS rank FROM pr{iters}
+    """
 
 
 def _bloom_pos_sql(i: int, key: str, m: int) -> str:
@@ -2424,6 +2480,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY g.doc_id
         """,
         "bloom_dedup": _bloom_oracle(),
+        "pagerank": _pagerank_oracle(),
         "decontam_scrub": f"""
             WITH {_DUPS_CTE[5:]},
             corpus AS (SELECT * FROM docs2
