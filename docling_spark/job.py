@@ -63,11 +63,34 @@ def with_content_type(
     ~10 full scans of a 64 MB blob per fall-through row, and a marker
     buried at byte 50 M can no longer flip the format.
     """
-    # lenient cast (invalid UTF-8 → replacement chars): a crawl blob with
-    # arbitrary binary bytes must never crash the dispatch expression
-    # (F.decode raises MALFORMED_CHARACTER_CODING on such input)
-    head_bin = F.substring(F.col("html"), 1, prefix_bytes)
-    head = head_bin.cast("string")
+    # Probe inputs are materialized ONCE in a preceding projection:
+    # CaseWhen branches get no cross-branch subexpression elimination, so
+    # leaving them inline would re-slice the blob (and re-run the
+    # extension regex) on every probe a fall-through row reaches — ~10
+    # window slices + casts per row. CollapseProject keeps the split
+    # because each alias is non-cheap and referenced many times.
+    # The cast is lenient (invalid UTF-8 → replacement chars): a crawl
+    # blob with arbitrary binary bytes must never crash the dispatch
+    # expression (F.decode raises MALFORMED_CHARACTER_CODING on such
+    # input). The 64 KB zip windows stay INSIDE the chain: they are only
+    # reached by rows whose first two bytes are "PK" (short-circuit &&),
+    # so materializing them for every row would be a net loss.
+    head_bin_e = F.substring(F.col("html"), 1, prefix_bytes)
+    df = df.withColumns(
+        {
+            "_magic": F.substring(F.col("html"), 1, 12),
+            "_head_bin": head_bin_e,
+            "_head": head_bin_e.cast("string"),
+            "_ext": F.lower(
+                F.regexp_extract(
+                    F.col("url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1
+                )
+            ),
+        }
+    )
+    magic = F.col("_magic")
+    head_bin = F.col("_head_bin")
+    head = F.col("_head")
     zip_head = F.substring(F.col("html"), 1, zip_probe_bytes)
     # bounded tail window (1-based start, clamped to the blob start)
     zip_tail = F.substring(
@@ -83,16 +106,14 @@ def with_content_type(
             zip_tail, F.lit(name)
         )
 
-    ext = F.lower(
-        F.regexp_extract(F.col("url"), r"\.([A-Za-z0-9]+)(?:[?#].*)?$", 1)
-    )
+    ext = F.col("_ext")
     return df.withColumn(
         "content_type",
-        F.when(F.substring(F.col("html"), 1, 5) == F.lit(b"%PDF-"), "pdf")
+        F.when(F.substring(magic, 1, 5) == F.lit(b"%PDF-"), "pdf")
         .when(ext.isin("html", "htm", "xhtml"), "html")
         .when(ext == "pdf", "pdf")
         .when(ext == "csv", "csv")
-        .when(F.substring(F.col("html"), 1, 6) == F.lit(b"WEBVTT"), "vtt")
+        .when(F.substring(magic, 1, 6) == F.lit(b"WEBVTT"), "vtt")
         .when(ext == "vtt", "vtt")
         .when(ext.isin("md", "markdown"), "md")
         .when(ext.isin("adoc", "asciidoc", "asc"), "asciidoc")
@@ -102,7 +123,7 @@ def with_content_type(
             "jats",
         )
         .when(
-            (F.substring(F.col("html"), 1, 4) == F.lit(b"PATN"))
+            (F.substring(magic, 1, 4) == F.lit(b"PATN"))
             | F.contains(head_bin, F.lit(b"us-patent-application-v4"))
             | F.contains(head_bin, F.lit(b"us-patent-grant-v4"))
             | F.contains(head_bin, F.lit(b"us-grant-025"))
@@ -115,7 +136,7 @@ def with_content_type(
         )
         .when(ext == "ofd", "ofd")
         .when(
-            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            (F.substring(magic, 1, 2) == F.lit(b"PK"))
             & zip_member(b"OFD.xml"),
             "ofd",
         )
@@ -123,35 +144,35 @@ def with_content_type(
         .when(ext.isin("xlsx", "xlsm"), "xlsx")
         .when(ext.isin("pptx", "pptm", "potx"), "pptx")
         .when(
-            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            (F.substring(magic, 1, 2) == F.lit(b"PK"))
             & zip_member(b"word/document.xml"),
             "docx",
         )
         .when(
-            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            (F.substring(magic, 1, 2) == F.lit(b"PK"))
             & zip_member(b"xl/workbook.xml"),
             "xlsx",
         )
         .when(
-            (F.substring(F.col("html"), 1, 2) == F.lit(b"PK"))
+            (F.substring(magic, 1, 2) == F.lit(b"PK"))
             & zip_member(b"ppt/presentation.xml"),
             "pptx",
         )
         # gzip magic → mets_gbs candidate (the branch inspects the tar and
         # gracefully skips non-METS archives, mirroring the reference's
         # content-inspecting _guess_format, document.py:688-707)
-        .when(F.substring(F.col("html"), 1, 2) == F.lit(b"\x1f\x8b"), "mets_gbs")
+        .when(F.substring(magic, 1, 2) == F.lit(b"\x1f\x8b"), "mets_gbs")
         # image magics (reference image_backend routing — such rows get an
         # explicit needs_ocr status rather than silently skipping)
-        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"\x89PNG"), "image")
-        .when(F.substring(F.col("html"), 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
-        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"GIF8"), "image")
-        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"II*\x00"), "image")
-        .when(F.substring(F.col("html"), 1, 4) == F.lit(b"MM\x00*"), "image")
-        .when(F.substring(F.col("html"), 1, 2) == F.lit(b"BM"), "image")
+        .when(F.substring(magic, 1, 4) == F.lit(b"\x89PNG"), "image")
+        .when(F.substring(magic, 1, 3) == F.lit(b"\xff\xd8\xff"), "image")
+        .when(F.substring(magic, 1, 4) == F.lit(b"GIF8"), "image")
+        .when(F.substring(magic, 1, 4) == F.lit(b"II*\x00"), "image")
+        .when(F.substring(magic, 1, 4) == F.lit(b"MM\x00*"), "image")
+        .when(F.substring(magic, 1, 2) == F.lit(b"BM"), "image")
         .when(
-            (F.substring(F.col("html"), 1, 4) == F.lit(b"RIFF"))
-            & (F.substring(F.col("html"), 9, 4) == F.lit(b"WEBP")),
+            (F.substring(magic, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(magic, 9, 4) == F.lit(b"WEBP")),
             "image",
         )
         .when(
@@ -161,11 +182,11 @@ def with_content_type(
         # audio magics/extensions (reference NoOpBackend → ASR pipeline,
         # NN and out of contract — explicit status instead of silent skip)
         .when(
-            (F.substring(F.col("html"), 1, 4) == F.lit(b"RIFF"))
-            & (F.substring(F.col("html"), 9, 4) == F.lit(b"WAVE")),
+            (F.substring(magic, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(magic, 9, 4) == F.lit(b"WAVE")),
             "audio",
         )
-        .when(F.substring(F.col("html"), 1, 3) == F.lit(b"ID3"), "audio")
+        .when(F.substring(magic, 1, 3) == F.lit(b"ID3"), "audio")
         .when(ext.isin("wav", "mp3", "m4a", "flac", "ogg"), "audio")
         .when(
             head.rlike(r'(?s)^\s*\{\s*"schema_name"\s*:\s*"DoclingDocument"'),
@@ -175,7 +196,7 @@ def with_content_type(
         .when(head.rlike(_HTML_SNIFF_RE), "html")
         .when(_csv_sniff(head, prefix_bytes), "csv")
         .otherwise("other"),
-    )
+    ).drop("_magic", "_head_bin", "_head", "_ext")
 
 
 def _csv_sniff(head, prefix_bytes: int):
@@ -759,5 +780,8 @@ def tuned_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # JVM↔Python worker transport over unix domain sockets (Spark 4):
+        # shaves the per-task handshake on every Arrow UDF round trip
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .getOrCreate()
     )

@@ -11,11 +11,23 @@ maybe-dups to an exact verifier if the FP rate matters).
 
 Spark-native representation: the filter is a DataFrame of SET BIT
 POSITIONS (distinct ints ≤ m), built by one explode → distinct — tiny
-versus the corpus (≤ k·n rows, deduplicated), broadcastable, and
-persistable as a parquet table that the next ingest appends to.
-Membership = explode the candidate's k positions → broadcast join →
-count hits per doc == k (map-side re-collapse, one slim exchange — the
-same shape as ops/urlfilter and ops/decontam).
+versus the corpus (≤ min(k·n, m) rows, deduplicated) and persistable as
+a parquet table that the next ingest appends to. Membership = explode
+the candidate's k positions → join → count hits per doc == k (map-side
+re-collapse, one slim exchange — the same shape as ops/urlfilter and
+ops/decontam).
+
+Join-strategy note (the m-sizing decision a 100 TB deployment makes):
+the set-bit table is broadcast-safe only while m is small — at the
+default m = 2^18 it is at most 2 MB of longs, but 10^11 keys at a 1e-3
+design rate need m ≈ 1.5e12 bits, where the set-bit table is billions
+of rows and a forced broadcast would OOM the driver exactly when the op
+matters most. ``bloom_maybe_dup`` therefore takes ``broadcast=None``
+(auto): hint the broadcast only when m is below a safe ceiling,
+otherwise leave the plan to AQE, which picks a shuffled join. For the
+big-m path, bucket BOTH the persisted filter table and the candidate
+positions on ``pos`` (same bucket count) so each incremental probe is a
+shuffle-free bucket join against history.
 
 Hashes are md5-nibble Horner values (engine-portable, like
 ops/sampling.hash_frac) with the hash index salted in — deterministic,
@@ -29,8 +41,13 @@ from pyspark.sql import functions as F
 
 _HEX = "0123456789abcdef"
 
-DEFAULT_M = 1 << 18  # bits; n=10^4 keys, k=3 -> FP ~ 5e-5
-DEFAULT_K = 3
+DEFAULT_M = 1 << 18  # bits; n=10^4 keys, k=3 -> FP = (1-e^(-kn/m))^k ~ 1.3e-3
+DEFAULT_K = 3  # (5e-5 needs n ~ 2000 at this m; size m ~ 1.44·n·log2(1/p) bits)
+
+# broadcast the set-bit table only while it is provably small: at most m
+# rows of one long each — 2^26 bits caps the broadcast at ~512 MB worst
+# case and ~8 MB typical (k·n distinct positions << m in a healthy filter)
+BROADCAST_M_CEILING = 1 << 26
 
 
 def _hash_pos(key: Column, i: int, m: int) -> Column:
@@ -68,18 +85,29 @@ def bloom_maybe_dup(
     key_col: str,
     m: int = DEFAULT_M,
     k: int = DEFAULT_K,
+    broadcast: "bool | None" = None,
 ) -> DataFrame:
     """(doc_id, maybe_dup): true iff ALL k positions of the doc's key are
     set in ``bloom`` — no false negatives; false positives at the
-    filter's design rate. One slim exchange, history never rescanned."""
+    filter's design rate. One slim exchange, history never rescanned.
+
+    ``broadcast``: None (default) hints the broadcast only when
+    ``m <= BROADCAST_M_CEILING`` (the set-bit table is ≤ m longs, so m
+    bounds its size a priori); at production m the hint is withheld and
+    AQE plans a shuffled join — same verdicts, no driver OOM (see the
+    module docstring for the bucketed big-m layout). Pass True/False to
+    override."""
+    if broadcast is None:
+        broadcast = m <= BROADCAST_M_CEILING
+    flt = bloom.withColumn("__set", F.lit(1))
+    if broadcast:
+        flt = F.broadcast(flt)
     cand = df.select(
         "doc_id",
         F.explode(_positions(F.md5(F.col(key_col)), m, k)).alias("pos"),
     )
     return (
-        cand.join(
-            F.broadcast(bloom.withColumn("__set", F.lit(1))), "pos", "left"
-        )
+        cand.join(flt, "pos", "left")
         .groupBy("doc_id")
         .agg((F.sum(F.coalesce("__set", F.lit(0))) == k).alias("maybe_dup"))
     )

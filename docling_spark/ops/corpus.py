@@ -24,9 +24,15 @@ def synth_pages(
     # downstream stage inherits the parallel partitioning (extract_pages'
     # auto repartition then skips its blob shuffle). Keeping the explode
     # upstream of the shuffle would serialize variant fan-out in one task.
+    # Width = exactly one partition per core (NOT par*4): every extra
+    # Python-stage wave pays a measured ~150 ms fixed mapInPandas
+    # round-trip latency per task, and the synthetic corpus is uniform so
+    # over-decomposition buys no balance (at 100 TB the scan's file
+    # splits set the width and each task amortizes the fixed cost over
+    # 100+ MB anyway).
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     if variants > 1:
         docs = docs.withColumn(
             "_v", F.explode(F.sequence(F.lit(0), F.lit(variants - 1)))
@@ -138,7 +144,7 @@ def synth_pages_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extract_pages ever needing to reshuffle the built blobs
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -238,7 +244,7 @@ def synth_pages_pdf_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -280,7 +286,7 @@ def synth_pages_pdf_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -322,7 +328,7 @@ def synth_pages_pdf_encrypted(
     )
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -428,7 +434,7 @@ def synth_pages_pdf_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def build(batches):
         for b in batches:
@@ -464,7 +470,7 @@ def synth_pages_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     w = lambda k: F.split_part(F.col("text"), F.lit(" "), F.lit(k))  # noqa: E731
     html_str = F.concat(
         F.lit("<html><head><title>Doc "),
@@ -638,7 +644,7 @@ def synth_pages_doctags(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     w = lambda k: F.split_part(F.col("text"), F.lit(" "), F.lit(k))  # noqa: E731
     did = F.col("doc_id").cast("string")
     id2 = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
@@ -674,7 +680,7 @@ def synth_pages_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     did = F.col("doc_id").cast("string")
     id2 = F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0")
     csv_str = F.concat(
@@ -698,7 +704,7 @@ def synth_pages_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     md_str = F.concat(
         F.lit("# Document "),
         F.col("doc_id").cast("string"),
@@ -733,7 +739,7 @@ def synth_pages_asciidoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
     adoc_str = F.concat(
         F.lit("= Document "),
         F.col("doc_id").cast("string"),
@@ -859,7 +865,7 @@ def _synth_office_pages(spark, sf_dir, build, suffix):
     )
     par = spark.sparkContext.defaultParallelism
     if len(docs.inputFiles()) < par:  # cheap file-count proxy (no RDD build)
-        docs = docs.repartition(par * 4, F.col("doc_id"))
+        docs = docs.repartition(par, F.col("doc_id"))
 
     def gen(batches):
         for b in batches:

@@ -52,6 +52,26 @@ def synth_links(docs: DataFrame) -> DataFrame:
     )
 
 
+def _prepare_edges(edges: DataFrame, width: int):
+    """One-time edge layout for the power loop: fold out-degree into the
+    edge list and persist BOTH frames hash-partitioned on ``src`` so each
+    iteration's join reuses the exchange instead of re-shuffling the edge
+    list (``iters`` full edge shuffles → 1)."""
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("__deg"))
+        .repartition(width, "src")
+        .persist()
+    )
+    edges_deg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "__deg")
+        .repartition(width, "src")
+        .persist()
+    )
+    return deg, edges_deg
+
+
 def pagerank(
     nodes: DataFrame,
     edges: DataFrame,
@@ -60,16 +80,25 @@ def pagerank(
     checkpoint_every: int | None = 1,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations. ``nodes`` must have
-    a ``node`` column covering every vertex; ``edges`` (src, dst)."""
+    a ``node`` column covering every vertex; ``edges`` (src, dst).
+
+    Edge-reuse posture (the dominant cost at 10^12 edges): the out-degree
+    join is folded into the edge list ONCE and the result is persisted
+    hash-partitioned on ``src`` at the session's shuffle width, so every
+    iteration's rank⋈edge join reuses that layout — each of the ``iters``
+    rounds shuffles only the slim (node, rank) frame plus the per-dst
+    contribution partial-agg, never the edge list. One edge exchange
+    total, not ``iters`` (plan-pinned in tests/test_graph.py)."""
+    spark = edges.sparkSession
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_row = nodes.select(F.count("*").alias("__n"))
-    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    deg, edges_deg = _prepare_edges(edges, width)
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
     for it in range(iters):
         contribs = (
-            ranks.join(edges, ranks["node"] == edges["src"])
-            .join(deg, "src")
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__contrib"))
             .withColumnRenamed("dst", "node")
@@ -96,4 +125,12 @@ def pagerank(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    out = ranks.select("node", F.round("rank", 6).alias("rank"))
+    if checkpoint_every and iters % checkpoint_every == 0:
+        # the eager checkpoint after the last iteration already
+        # materialized the ranks, so the cached edge layout has served
+        # its iters joins and can go; without a trailing checkpoint the
+        # lazy plan still references it — leave it to executor eviction
+        edges_deg.unpersist()
+        deg.unpersist()
+    return out

@@ -37,9 +37,11 @@ def fit_pq_codebooks(
     sample_cap: int = 4096,
 ) -> DataFrame:
     """(subspace, code, centroid) via deterministic sampled Lloyd per
-    subspace (L2 metric). Same scale posture as ann.fit_codebook: one
-    pruned scan collects a bounded stride sample; swap for k-means|| if
-    even the sample outgrows the driver."""
+    subspace (L2 metric). Driver-sample trainer (bounded stride sample,
+    exactly oracle-reproducible); for production-scale corpora use
+    :func:`fit_pq_codebooks_distributed`, which runs Lloyd fully on the
+    cluster and sees every vector — the two emit the same schema, so
+    ``pq_encode``/``pq_search`` accept either."""
     import numpy as np
 
     n = embeddings.count()
@@ -68,6 +70,119 @@ def fit_pq_codebooks(
                     C[j] = members.mean(axis=0)
         for j in range(kk):
             rows.append((s, j, [float(v) for v in C[j]]))
+    return embeddings.sparkSession.createDataFrame(
+        rows, schema="subspace int, code int, centroid array<double>"
+    )
+
+
+def fit_pq_codebooks_distributed(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+) -> DataFrame:
+    """(subspace, code, centroid) via FULLY DISTRIBUTED Lloyd — the
+    production path behind the ``fit_pq_codebooks`` driver-sample seam,
+    reusing the ``ann.fit_codebook_distributed`` partial-sum shape
+    (one Arrow UDF pass per iteration) but running ALL m subspaces in
+    that single pass with a plain-L2 metric:
+
+    - init: the k vectors with the smallest md5(vec_id) (deterministic
+      uniform pseudo-random seeding, one TakeOrdered, no RNG state),
+      sliced per subspace — so every subspace starts from the same
+      bounded k×dim driver state;
+    - assign+partial: per Arrow batch, per subspace, argmin-L2 against
+      the broadcast-by-closure m×k×sub centroids → emit (subspace,
+      code, vsum, cnt) partial sums — at most m×k rows per batch,
+      never a per-vector shuffle;
+    - update: posexplode the partial vectors → groupBy (subspace, code,
+      pos) sum → collect m×k×sub scalars → divide by counts on the
+      driver. Per iteration the cluster shuffles m×k×sub×batches slim
+      rows — independent of corpus size; the driver only ever holds the
+      m×k×sub codebook. Empty cells keep their previous centroid.
+
+    At 10^9+ vectors the 4096-row driver sample underfits 48-dim
+    subspace codebooks; this trainer sees every vector. Deterministic up
+    to floating-point reduction order (the standard distributed-k-means
+    caveat); recall-vs-sampled-trainer and assignment stability are
+    pinned in tests/test_pq.py."""
+    import numpy as np
+    from typing import Iterator
+
+    import pandas as pd
+
+    seed_rows = (
+        embeddings.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    X0 = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    dim = X0.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    kk = min(k, len(X0))
+    # C[s] : (kk, sub) — subspace s's codebook
+    C = [X0[:kk, s * sub : (s + 1) * sub].copy() for s in range(m)]
+    for _ in range(iters):
+        C_cur = [c.copy() for c in C]
+
+        def partials(batches: "Iterator[pd.DataFrame]"):
+            for b in batches:
+                X = np.array(list(b["embedding"]), dtype=np.float64)
+                rows = []
+                for s in range(m):
+                    Xs = X[:, s * sub : (s + 1) * sub]
+                    d2 = ((Xs[:, None, :] - C_cur[s][None, :, :]) ** 2).sum(
+                        axis=2
+                    )
+                    assign = d2.argmin(axis=1)
+                    for j in range(kk):
+                        members = Xs[assign == j]
+                        if len(members):
+                            rows.append(
+                                (
+                                    s,
+                                    int(j),
+                                    [float(v) for v in members.sum(axis=0)],
+                                    int(len(members)),
+                                )
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["subspace", "code", "vsum", "cnt"]
+                )
+
+        stats = (
+            embeddings.select("embedding")
+            .mapInPandas(
+                partials,
+                schema="subspace int, code int, vsum array<double>, cnt long",
+            )
+            .groupBy("subspace", "code")
+            .agg(
+                # element-wise vector sum of the per-batch partials: zip the
+                # running accumulator with each vsum (slim k-length arrays)
+                F.aggregate(
+                    F.collect_list("vsum"),
+                    F.array_repeat(F.lit(0.0), sub),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+                F.sum("cnt").alias("cnt"),
+            )
+            .collect()
+        )
+        newC = [c.copy() for c in C]
+        for r in stats:
+            if r["cnt"]:
+                newC[r["subspace"]][r["code"]] = (
+                    np.asarray(r["vsum"], dtype=np.float64) / r["cnt"]
+                )
+        C = newC
+    rows = [
+        (s, j, [float(v) for v in C[s][j]])
+        for s in range(m)
+        for j in range(kk)
+    ]
     return embeddings.sparkSession.createDataFrame(
         rows, schema="subspace int, code int, centroid array<double>"
     )

@@ -80,3 +80,35 @@ def test_plan_broadcast_no_smj(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_production_m_withholds_broadcast_hint(spark):
+    """At m above BROADCAST_M_CEILING the auto mode must NOT force a
+    broadcast (the set-bit table of a 10^11-key filter is billions of
+    longs); the shuffled-join plan still yields identical verdicts."""
+    big_m = bloom.BROADCAST_M_CEILING << 4
+    hist = _df(spark, [(i, f"history doc {i}") for i in range(100)])
+    filt = bloom.bloom_build(hist, "text", m=big_m)
+    batch = _df(
+        spark,
+        [(1000, "history doc 7"), (1001, "fresh text never ingested")],
+    )
+    probed = bloom.bloom_maybe_dup(batch, filt, "text", m=big_m)
+    # disable AQE's own small-table promotion so the plan shows what the
+    # op itself asked for: no forced BroadcastHashJoin
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        out = {r["doc_id"]: r["maybe_dup"] for r in probed.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert out == {1000: True, 1001: False}
+    # explicit override still broadcasts (the operator parameter wins)
+    forced = bloom.bloom_maybe_dup(
+        batch, filt, "text", m=big_m, broadcast=True
+    )
+    assert (
+        "BroadcastHashJoin"
+        in forced._jdf.queryExecution().executedPlan().toString()
+    )

@@ -50,6 +50,49 @@ def test_dangling_mass_redistributed(spark):
     assert ranks[1] > ranks[0]  # 1 receives 0's vote
 
 
+def test_edge_layout_reused_across_iterations(spark):
+    """The per-iteration rank⋈edge join must reuse the persisted
+    src-partitioned edge layout: one iteration's contribution plan reads
+    the edges from InMemoryTableScan with NO fresh exchange on the edge
+    side — its only exchanges are the slim ranks shuffle and the per-dst
+    partial agg. (iters edge shuffles → 1, VERDICT r4 #4.)"""
+    docs = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    edges = graph.synth_links(docs)
+    deg, edges_deg = graph._prepare_edges(edges, 4)
+    try:
+        edges_deg.count()  # materialize the cached layout
+        ranks = docs.select(
+            F.col("doc_id").alias("node"), F.lit(1.0 / 200).alias("rank")
+        )
+        contribs = (
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__contrib"))
+        )
+        # forbid the tiny-test-scale broadcast so the plan shows the
+        # at-scale join strategy (SMJ) the reuse is designed for
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            contribs.collect()
+            plan = contribs._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        # the executed plan prints the cached lineage under
+        # InMemoryRelation — only the portion ABOVE the cache is what this
+        # iteration actually runs
+        live = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in live
+        import re
+
+        exchanges = re.findall(r"Exchange hashpartitioning\((\w+)", live)
+        # ranks side (node) + partial-agg (dst); the edge side contributes
+        # no exchange — its cached partitioning satisfies the join
+        assert sorted(set(exchanges)) == ["dst", "node"], exchanges
+    finally:
+        edges_deg.unpersist()
+        deg.unpersist()
+
+
 def test_synth_links_law(spark):
     docs = spark.range(0, 50).withColumnRenamed("id", "doc_id")
     rows = {(r["src"], r["dst"]) for r in graph.synth_links(docs).collect()}

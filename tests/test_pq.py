@@ -70,6 +70,56 @@ def test_self_retrieval_and_recall_floor(spark, fitted, emb):
     assert recall >= 0.25, recall
 
 
+def test_distributed_trainer_recall_matches_or_beats_sampled(
+    spark, fitted, emb
+):
+    """fit_pq_codebooks_distributed sees every vector (no 4096 driver
+    sample); at sf0.01 it must retrieve at least as well as the sampled
+    trainer, with the same schema and code bounds."""
+    cb_d = pq.fit_pq_codebooks_distributed(emb)
+    rows = cb_d.collect()
+    assert {r["subspace"] for r in rows} == set(range(8))
+    assert all(len(r["centroid"]) == 8 for r in rows)
+    codes_d = pq.pq_encode(emb, cb_d).cache()
+    assert codes_d.count() == emb.count()
+    for r in codes_d.collect():
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    trials = [0, 7, 42, 99, 123]
+
+    def recall(codes, cb):
+        hits = 0
+        for qid in trials:
+            q = X[qid]
+            got = [
+                r["vec_id"]
+                for r in pq.pq_search(codes, cb, list(q), k=10).collect()
+            ]
+            d = {v: ((x - q) ** 2).sum() for v, x in X.items()}
+            exact = set(sorted(d, key=lambda v: (d[v], v))[:10])
+            hits += len(exact & set(got))
+        return hits / (10 * len(trials))
+
+    cb_s, codes_s = fitted
+    r_dist, r_sampled = recall(codes_d, cb_d), recall(codes_s, cb_s)
+    assert r_dist >= r_sampled, (r_dist, r_sampled)
+    codes_d.unpersist()
+
+
+def test_distributed_trainer_assignment_stability(spark, emb):
+    """Two runs of the distributed trainer produce identical code
+    ASSIGNMENTS (the deterministic init + argmin tie-break make the
+    trained cells stable even though float reduction order may differ in
+    the last bits of the centroids)."""
+    a = pq.fit_pq_codebooks_distributed(emb, iters=2)
+    b = pq.fit_pq_codebooks_distributed(emb, iters=2)
+    ca = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, a).collect()}
+    cbb = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, b).collect()}
+    assert ca == cbb
+
+
 def test_search_is_jvm_only(spark, fitted):
     cb, _ = fitted
     # literal codes frame isolates the SEARCH plan from the encode UDF
