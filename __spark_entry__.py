@@ -995,6 +995,91 @@ def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL RefinedWeb/Dolma-shaped training-data pipeline in one
+    composed plan: extraction → Gopher curation on the extracted text →
+    MinHash-LSH + connected-components dedup keep-list → GPT-3-style
+    benchmark decontamination → deterministic stratified mix + splits →
+    in-row chunk/pack accounting.
+
+    The input carries REAL duplicates (variants=2: every doc is crawled
+    under two urls with identical bytes), so the dedup stage resolves
+    genuine 2-cliques from the LSH pair graph. One extraction pass is
+    persisted; every stage exchanges only slim (doc_id, verdict) frames
+    joined back on the key — the text/spans columns are computed once and
+    never re-shuffled between stages (plan-pinned in
+    tests/test_pipeline_e2e.py). keep_final = passed curation AND
+    canonical cluster rep AND uncontaminated AND sampled into the mix.
+
+    Oracle: the per-stage oracles composed as CTEs over the same
+    documents law (signals SQL, minhash banding + RECURSIVE reachability,
+    13-gram dim, hash-fraction mix, chunk-law pack arithmetic)."""
+    from docling_spark.ops import cc, decontam, dedup, sampling
+    from docling_spark.ops.chunker import pack_stats
+    from docling_spark.ops.webtext import gopher_filter, repetition_signals
+
+    pages = synth_pages(spark, sf_dir, variants=2)
+    ex = extract_pages(pages, base_uri_mode="none")
+    rid = (
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long") * 2
+        + F.when(F.col("url").contains("-v1"), F.lit(1)).otherwise(F.lit(0))
+    )
+    exd = ex.select(
+        rid.alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        "lang",
+        "spans",
+    ).persist()
+
+    gate = gopher_filter(
+        repetition_signals(exd.select("doc_id", F.col("text").alias("wtext")))
+    ).select("doc_id", F.col("reject_reason").alias("curate_reason"))
+    pairs = dedup.lsh_candidate_pairs(
+        exd, k=8, seeds=[1, 2, 3, 4], band_size=2
+    )
+    clusters = cc.dedup_assignments(exd, pairs)
+    bench = decontam.benchmark_grams(
+        _docs(spark, sf_dir).filter(F.col("doc_id") % 37 == 0)
+    )
+    dec = decontam.decontaminate(exd, bench).select("doc_id", "contaminated")
+    mix = sampling.assign_splits(
+        sampling.stratified_rates(
+            exd.select("doc_id", "lang"),
+            "doc_id",
+            "lang",
+            sampling.mix_rates(spark, {"en": 1.0, "de": 0.5, "fr": 0.25}),
+        ),
+        "doc_id",
+    ).select("doc_id", "rate", "weight", "split")
+    packs = pack_stats(exd, budget_tokens=16, key_cols=("doc_id",))
+
+    out = (
+        gate.join(clusters, "doc_id")
+        .join(dec, "doc_id")
+        .join(mix, "doc_id", "left")
+        .join(packs, "doc_id")
+    )
+    return out.select(
+        "doc_id",
+        "curate_reason",
+        "component",
+        "is_canonical",
+        "contaminated",
+        "rate",
+        "weight",
+        "split",
+        "n_chunks",
+        "n_tokens",
+        "n_packs",
+        (
+            (F.col("curate_reason") == "keep")
+            & F.col("is_canonical")
+            & ~F.col("contaminated")
+            & F.col("split").isNotNull()
+        ).alias("keep_final"),
+    )
+
+
 def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (ops/decontam.py): GPT-3-style 13-gram
     overlap flags vs an eval-set dim (docs with doc_id % 37 == 0) over
@@ -1303,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
         "curate_web": q_curate_web,
+        "pipeline_e2e": q_pipeline_e2e,
         "decontam": q_decontam,
         "decontam_scrub": q_decontam_scrub,
         "bloom_dedup": q_bloom_dedup,
@@ -1474,6 +1560,120 @@ def _corpus_mix_oracle() -> str:
                     WHEN {fp} < 0.95 THEN 'val'
                     ELSE 'test' END AS split
         FROM s
+    """
+
+
+def _pipeline_e2e_oracle() -> str:
+    """Composite oracle for q_pipeline_e2e: every stage's existing oracle
+    pattern as a CTE over the SAME duplicated-extraction law — Gopher
+    signals on the synth markdown, minhash banding + RECURSIVE
+    reachability on the extracted text, the 13-gram decontamination dim,
+    hash-fraction mix rates/splits, and the chunk-law pack arithmetic
+    (chunks per doc = [text, w1, w2, w3]; whitespace token counts;
+    pack_id = (cum-1)//16 counted distinct)."""
+    from docling_spark.ops.corpus import SYNTH_MD_SQL
+    from docling_spark.ops.webtext import _rules_case_sql, _signals_sql
+
+    fs = _hash_frac_sql("sample:")
+    fp = _hash_frac_sql("split:")
+    t1 = "len(string_split(d.text, ' '))"
+    return f"""
+        WITH RECURSIVE
+        vv AS (SELECT unnest([0, 1]) AS v),
+        ex0 AS (
+          SELECT d.doc_id AS src_id, vv.v AS v, {SYNTH_MD_SQL} AS wtext,
+                 d.lang
+          FROM documents d CROSS JOIN vv),
+        ex AS (SELECT src_id * 2 + v AS doc_id, src_id, wtext, lang
+               FROM ex0),
+        wt AS (SELECT doc_id, wtext FROM ex),
+        {_signals_sql()},
+        gate AS (SELECT doc_id, {_rules_case_sql()} AS curate_reason
+                 FROM sig),
+        shq AS (
+          SELECT DISTINCT e.doc_id, substring(e.wtext, g.i, 8) AS sh
+          FROM ex e, LATERAL (SELECT unnest(range(1,
+               greatest(length(e.wtext) - 7, 1) + 1)) AS i) g),
+        msig AS (
+          SELECT shq.doc_id, s.seed,
+                 min(md5(shq.sh || ':' || s.seed)) AS minhash
+          FROM shq CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS seed) s
+          GROUP BY shq.doc_id, s.seed),
+        banded AS (
+          SELECT doc_id, (seed - 1) // 2 AS band_id,
+                 string_agg(minhash, '|' ORDER BY minhash) AS band_key
+          FROM msig GROUP BY doc_id, (seed - 1) // 2),
+        prs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM banded a JOIN banded b
+            ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id),
+        sym AS (SELECT u, v FROM prs UNION SELECT v AS u, u AS v FROM prs),
+        reach(node, comp) AS (
+          SELECT doc_id, doc_id FROM ex
+          UNION
+          SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.node),
+        comp AS (
+          SELECT node AS doc_id, min(comp) AS component,
+                 (min(comp) = node) AS is_canonical
+          FROM reach GROUP BY node),
+        tb AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t != '') AS toks
+               FROM documents WHERE doc_id % 37 = 0),
+        bench AS (
+          SELECT DISTINCT
+            unnest(list_transform(
+              range(1, len(toks) - least(13, len(toks)) + 2),
+              i -> md5(array_to_string(
+                     list_slice(toks, i, i + least(13, len(toks)) - 1),
+                     ' ')))) AS gram
+          FROM tb),
+        ctk AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(wtext), '\\s+'),
+                                   t -> t != '') AS toks
+                FROM ex),
+        cg AS (
+          SELECT doc_id,
+            unnest(list_transform(
+              range(1, len(toks) - least(13, len(toks)) + 2),
+              i -> md5(array_to_string(
+                     list_slice(toks, i, i + least(13, len(toks)) - 1),
+                     ' ')))) AS gram
+          FROM ctk),
+        dec AS (
+          SELECT doc_id,
+                 count(*) FILTER (gram IN (SELECT gram FROM bench)) > 0
+                   AS contaminated
+          FROM cg GROUP BY doc_id),
+        mixr AS (
+          SELECT e.doc_id, coalesce(m.rate, 0.1) AS rate
+          FROM ex e
+          LEFT JOIN (VALUES ('en', 1.0), ('de', 0.5), ('fr', 0.25))
+                    m(strata, rate) ON e.lang = m.strata),
+        mix AS (
+          SELECT doc_id, rate, 1.0 / rate AS weight,
+                 CASE WHEN {fp} < 0.9 THEN 'train'
+                      WHEN {fp} < 0.95 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM mixr WHERE {fs} < rate),
+        pk AS (
+          SELECT e.doc_id, 4 AS n_chunks, {t1} + 3 AS n_tokens,
+                 len(list_distinct([({t1} - 1) // 16, {t1} // 16,
+                                    ({t1} + 1) // 16, ({t1} + 2) // 16]))
+                   AS n_packs
+          FROM ex e JOIN documents d ON d.doc_id = e.src_id)
+        SELECT g.doc_id, g.curate_reason, c.component, c.is_canonical,
+               d.contaminated, m.rate, m.weight, m.split,
+               p.n_chunks, p.n_tokens, p.n_packs,
+               (g.curate_reason = 'keep' AND c.is_canonical
+                AND NOT d.contaminated AND m.split IS NOT NULL)
+                 AS keep_final
+        FROM gate g
+        JOIN comp c USING (doc_id)
+        JOIN dec d USING (doc_id)
+        LEFT JOIN mix m USING (doc_id)
+        JOIN pk p USING (doc_id)
     """
 
 
@@ -2443,6 +2643,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),
+        "pipeline_e2e": _pipeline_e2e_oracle(),
         "decontam": f"""
             WITH {_DUPS_CTE[5:]},
             corpus AS (SELECT * FROM docs2

@@ -39,6 +39,7 @@ HEADLINE = [
     "lm_quality",
     "corpus_mix",
     "curate_web",
+    "pipeline_e2e",
     "decontam",
     "simhash",
     "token_count",

@@ -90,6 +90,62 @@ def chunk_spans(extracted: DataFrame) -> DataFrame:
 BPE_LITE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
+def pack_stats(
+    extracted: DataFrame,
+    budget_tokens: int = 64,
+    tokenizer: str = "whitespace",
+    key_cols: tuple = ("url",),
+) -> DataFrame:
+    """Per-document chunk/pack accounting computed ENTIRELY in-row:
+    (url, n_chunks, n_tokens, n_packs) — the doc-grain summary of
+    :func:`chunk_spans` + :func:`pack_chunks` without their per-chunk
+    fan-out or the ``Window.partitionBy(url)`` shuffle. The pack count
+    replicates pack_chunks' boundary rule exactly (pack_id =
+    floor((cumsum-1)/budget), counted as DISTINCT ids because an
+    over-budget chunk skips ids): one filter + two folds over the spans
+    array, zero exchanges — the shape a composed pipeline wants so the
+    text/spans columns never re-shuffle for accounting.
+
+    JVM tokenizers only (``whitespace`` / ``bpe_lite``): the counter runs
+    inside array lambdas, which cannot host the ``bpe_full`` pandas UDF."""
+    if tokenizer == "bpe_full":
+        raise ValueError(
+            "pack_stats supports JVM tokenizers only; use pack_chunks for"
+            " bpe_full"
+        )
+    chunk_texts = F.transform(
+        F.filter(
+            "spans",
+            lambda s: (s.kind == "text")
+            & s.label.isin(*_CHUNK_LABELS)
+            & (s.content_layer == "body")
+            & (F.length(F.coalesce(s.text, F.lit(""))) > 0),
+        ),
+        lambda s: s.text,
+    )
+    toks = F.transform(
+        chunk_texts, lambda t: token_count_col(t, tokenizer).cast("long")
+    )
+    cums = F.aggregate(
+        toks,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x)
+        ),
+    )
+    pack_ids = F.transform(
+        cums, lambda c: F.floor((c - 1) / F.lit(budget_tokens))
+    )
+    return extracted.select(
+        *key_cols,
+        F.size(chunk_texts).alias("n_chunks"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "n_tokens"
+        ),
+        F.size(F.array_distinct(pack_ids)).alias("n_packs"),
+    )
+
+
 def token_count_col(text_col, tokenizer: str = "whitespace"):
     """Pluggable token counter (all JVM-side, no UDF):
 
