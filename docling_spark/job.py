@@ -62,6 +62,17 @@ def with_content_type(
     local-file headers sit at offset 0). At 100 TB this removes up to
     ~10 full scans of a 64 MB blob per fall-through row, and a marker
     buried at byte 50 M can no longer flip the format.
+
+    Known zip-probe limit: an EXTENSIONLESS archive whose central
+    directory exceeds the 64 KB tail window (hundreds of members) AND
+    whose identifying member (word/document.xml, OFD.xml, …) is neither
+    in the first local headers nor the visible directory suffix routes to
+    'other' instead of its office type. Anchoring the window off the
+    end-of-central-directory offset would need binary little-endian
+    parsing in a JVM expression; real OOXML/OFD writers put the document
+    part first and crawl rows carry extensions, so the fixed window is
+    the deliberate trade (raise ``zip_probe_bytes`` per-deployment if
+    such archives matter).
     """
     # Probe inputs are materialized ONCE in a preceding projection:
     # CaseWhen branches get no cross-branch subexpression elimination, so
@@ -592,9 +603,7 @@ def extract_pages(
         "content_type", F.when(oversize, F.lit("oversize")).otherwise(F.col("content_type"))
     )
     if shuffle_partitions:
-        df = df.repartition(
-            shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))
-        )
+        df = _route_skew(df, shuffle_partitions, salt)
     udf = make_extract_udf(
         base_uri_mode=base_uri_mode,
         doc_timeout_s=doc_timeout_s,
@@ -605,6 +614,35 @@ def extract_pages(
     )
     cols = ["url", "warc_ts", "lang", "doc_hash", "content_type", "html"]
     return df.select(*cols).mapInPandas(udf, schema=EXTRACTED_SCHEMA)
+
+
+# Blobs above this go to the dedicated big-row lane (SURVEY §4: length
+# bucketing). A doc is an atomic unit of extraction work, so a 50 MB blob
+# is an irreducible multi-second task — the defense is ISOLATION: it must
+# never queue a pile of small docs behind it in the same task.
+BIG_BLOB_BYTES = 4 * 1024 * 1024
+
+
+def _route_skew(
+    df: DataFrame,
+    shuffle_partitions: int,
+    salt: int,
+    big_bytes: int = BIG_BLOB_BYTES,
+) -> DataFrame:
+    """Skew-defused repartition: small rows hash-spread across
+    ``shuffle_partitions``; giant blobs (> ``big_bytes``) ride a separate
+    lane partitioned on their own url hash, so no partition mixes a giant
+    doc with a fair share of small ones — the stage wall becomes
+    max(small-lane wall, slowest giant) instead of their sum. Exactly-once
+    and ordering are unaffected (union of two disjoint filters)."""
+    big = F.length(F.col("html")) > F.lit(big_bytes)
+    small_lane = df.filter(~big).repartition(
+        shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt))
+    )
+    big_lane = df.filter(big).repartition(
+        shuffle_partitions, F.xxhash64(F.col("url"), F.lit(salt + 1))
+    )
+    return small_lane.unionByName(big_lane)
 
 
 # -------------------------------------------------------------- runner w/ resume

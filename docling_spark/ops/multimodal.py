@@ -338,14 +338,27 @@ def image_features(media: DataFrame, col: str = "image") -> DataFrame:
             rows = []
             for doc_id, blob in zip(b["doc_id"], b[col]):
                 blob = bytes(blob)
-                if blob[:4] == b"FIMG":
-                    payload = blob[13:]
-                else:
-                    _w, _h, _c, payload = _decode_real(blob)
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                rows.append(
-                    (int(doc_id), float(arr.mean()), int(arr.min()), int(arr.max()))
-                )
+                # per-row containment, mirroring decode_image_meta: one
+                # corrupt/unsupported blob yields a null-stats row instead
+                # of failing the whole Spark task (ADVICE r4)
+                try:
+                    if blob[:4] == b"FIMG":
+                        payload = blob[13:]
+                    else:
+                        _w, _h, _c, payload = _decode_real(blob)
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    if arr.size == 0:
+                        raise ValueError("empty payload")
+                    rows.append(
+                        (
+                            int(doc_id),
+                            float(arr.mean()),
+                            int(arr.min()),
+                            int(arr.max()),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None))
             yield pd.DataFrame(rows, columns=["doc_id", "mean_px", "min_px", "max_px"])
 
     return media.select("doc_id", col).mapInPandas(

@@ -58,11 +58,41 @@ class Stream:
     def data(self) -> bytes:
         raw = self.raw
         crypt = getattr(self._doc, "_crypt", None)
-        if crypt is not None:
+        if crypt is not None and not self._crypt_identity():
             # xref streams are never encrypted, but they are also only read
             # during __init__ before _crypt exists, so no special-casing
             raw = crypt.decrypt(raw, self.num, self.gen)
         return _decode_stream(self.dict, raw, self._doc)
+
+    def _crypt_identity(self) -> bool:
+        """Spec 7.4.10: a stream whose /Filter chain contains a Crypt
+        filter whose /DecodeParms /Name is Identity (or absent) is EXEMPT
+        from the document's /StmF decrypt — e.g. plaintext XMP metadata
+        inside an encrypted PDF. Unconditionally decrypting such a stream
+        would garble it."""
+        doc = self._doc
+        filters = doc.resolve(self.dict.get("Filter"))
+        if filters is None:
+            return False
+        if not isinstance(filters, list):
+            filters = [filters]
+        if not any(str(f) == "Crypt" for f in filters):
+            return False
+        parms = doc.resolve(
+            self.dict.get("DecodeParms") or self.dict.get("DP")
+        )
+        if not isinstance(parms, list):
+            parms = [parms]
+        for f, p in zip(filters, parms + [None] * len(filters)):
+            if str(f) == "Crypt":
+                p = doc.resolve(p)
+                name = (
+                    str(doc.resolve(p.get("Name", "Identity")))
+                    if isinstance(p, dict)
+                    else "Identity"
+                )
+                return name == "Identity"
+        return False
 
 
 def _apply_png_predictor(data: bytes, colors: int, bpc: int, columns: int) -> bytes:

@@ -155,6 +155,57 @@ def stateful_dedup_stream(
     )
 
 
+def bloom_probe_stream(
+    spark: SparkSession,
+    input_path: str,
+    bloom: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    key_col: str = "text",
+    m: "int | None" = None,
+    k: "int | None" = None,
+    max_files_per_trigger: int = 1,
+    schema=None,
+):
+    """Streaming Bloom membership — the natural INCREMENTAL dedup: new
+    crawl rows arrive as micro-batches and are tested against the static
+    history filter (``bloom``, a set-bit table from ops/bloom.bloom_build)
+    without ever rescanning history.
+
+    Shape: foreachBatch applies the SAME ``bloom_maybe_dup`` plan as the
+    batch path (one plan, two drivers — the module's parity rule), writing
+    each micro-batch's verdicts to ``output_path/batch_id=N``. The
+    per-batch directory write is idempotent under replay: a restart that
+    re-runs batch N overwrites N's directory rather than duplicating rows,
+    so the final table equals the batch verdicts exactly-once across
+    kill/restart (tests/test_streaming.py)."""
+    from .ops import bloom as bloom_ops
+
+    kwargs = {}
+    if m is not None:
+        kwargs["m"] = m
+    if k is not None:
+        kwargs["k"] = k
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = bloom_ops.bloom_maybe_dup(batch_df, bloom, key_col, **kwargs)
+        verdicts.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
+
+    reader = (
+        spark.readStream.schema(schema or PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return (
+        reader.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_path: str,

@@ -187,3 +187,94 @@ def test_html_sniff_wins_over_csv(spark):
     blob = b"<html><body><table><tr><td>a,b\nc,d</td></tr></table></body></html>"
     ct = _ct(spark, [("https://t/page", blob)])
     assert ct["https://t/page"] == "html"
+
+
+# ------------------------------------------------- giant-blob skew defense
+def test_giant_blob_rides_its_own_partition(spark):
+    """SURVEY §4 length bucketing: with an explicit repartition width, a
+    giant blob must never share a partition with small docs — the stage
+    wall is max(small lane, giant), not their sum."""
+    from docling_spark.job import BIG_BLOB_BYTES, _route_skew, with_content_type
+
+    big_html = (
+        b"<html><body>" + b"<p>big paragraph</p>" * (BIG_BLOB_BYTES // 18)
+        + b"</body></html>"
+    )
+    rows = [(f"https://s.test/{i}.html", b"<html><body><p>tiny</p></body></html>")
+            for i in range(400)]
+    rows.append(("https://s.test/giant.html", big_html))
+    pages = with_content_type(_mk_pages(spark, rows))
+    routed = _route_skew(pages, 8, salt=0)
+    per_pid = (
+        routed.select(
+            F.spark_partition_id().alias("pid"),
+            (F.length("html") > BIG_BLOB_BYTES).alias("big"),
+        )
+        .groupBy("pid")
+        .agg(
+            F.sum(F.col("big").cast("int")).alias("n_big"),
+            F.sum((~F.col("big")).cast("int")).alias("n_small"),
+        )
+        .collect()
+    )
+    for r in per_pid:
+        if r["n_big"]:
+            assert r["n_small"] == 0, r  # isolation: no small docs behind it
+    assert sum(r["n_big"] for r in per_pid) == 1
+
+
+def test_skew_corpus_extracts_clean_and_does_not_serialize(spark):
+    """End-to-end over the skewed corpus: every row extracts (no task
+    failure / OOM), and the wall stays within 2x of uniform + the giant's
+    solo cost (the giant overlaps the small lane instead of queuing it)."""
+    import time
+
+    from docling_spark.job import extract_pages
+
+    big_html = (
+        b"<html><body>" + b"<p>words here</p>" * 40000 + b"</body></html>"
+    )
+    small = [(f"https://s.test/{i}.html", b"<html><body><p>tiny doc</p></body></html>")
+             for i in range(800)]
+
+    uniform = _mk_pages(spark, small)
+    t0 = time.perf_counter()
+    assert extract_pages(uniform, shuffle_partitions=8).count() == 800
+    t_uniform = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    solo = extract_pages(
+        _mk_pages(spark, [("https://s.test/giant.html", big_html)]),
+        shuffle_partitions=8,
+    )
+    assert [r["status"] for r in solo.select("status").collect()] == ["success"]
+    t_solo = time.perf_counter() - t0
+
+    skew = _mk_pages(spark, small + [("https://s.test/giant.html", big_html)])
+    t0 = time.perf_counter()
+    out = extract_pages(skew, shuffle_partitions=8)
+    sc = {r["status"]: r["n"] for r in
+          out.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    t_skew = time.perf_counter() - t0
+    assert sc == {"success": 801}
+    # generous 2x margin absorbs host-steal noise; the failure mode this
+    # guards (giant serializing the whole small lane behind one task)
+    # would cost t_uniform + t_solo with no overlap at all
+    assert t_skew <= 2.0 * (max(t_uniform, t_solo) + 2.0), (
+        t_uniform, t_solo, t_skew)
+
+
+def test_corrupt_image_blob_yields_null_stats_row(spark):
+    """ops/multimodal.image_features: one corrupt blob must produce a
+    null-stats row, never a task failure (ADVICE r4 multimodal.py:344)."""
+    from docling_spark.ops.multimodal import image_features
+    from docling_spark.ops.png import encode_png
+
+    good = encode_png(2, 2, 1, bytes([10, 20, 30, 40]))
+    corrupt = b"\x89PNG\r\n\x1a\nGARBAGE-NOT-A-REAL-PNG"
+    media = spark.createDataFrame(
+        [(1, good), (2, corrupt)], "doc_id long, image binary"
+    )
+    rows = {r["doc_id"]: r for r in image_features(media).collect()}
+    assert rows[1]["mean_px"] == 25.0
+    assert rows[2]["mean_px"] is None and rows[2]["min_px"] is None

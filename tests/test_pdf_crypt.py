@@ -181,6 +181,37 @@ def test_strf_identity_differs_from_stmf():
     assert h.decrypt(ct, 7) == plain
 
 
+def test_crypt_identity_stream_exempt_from_stmf():
+    """Spec 7.4.10: a stream carrying /Filter /Crypt with /Name Identity
+    (e.g. plaintext XMP metadata inside an encrypted PDF) is exempt from
+    the document's /StmF decrypt — Stream.data() must return it verbatim
+    instead of garbling it (ADVICE r4 parser.py:205)."""
+    from docling_spark.pdfx.parser import Name, PdfDocument, Stream
+
+    enc = encrypt_pdf_rc4(synth_pdf_bytes(3, "one two three"), "pw")
+    doc = PdfDocument(enc, password="pw")
+    assert getattr(doc, "_crypt", None) is not None
+    plain = b"<?xpacket plaintext metadata ?>"
+    ident = Stream(
+        {"Filter": Name("Crypt"), "DecodeParms": {"Name": Name("Identity")}},
+        plain,
+        doc,
+        num=99,
+        gen=0,
+    )
+    assert ident.data() == plain
+    # bare /Crypt with no parms defaults to Identity — also exempt
+    bare = Stream({"Filter": Name("Crypt")}, plain, doc, num=99, gen=0)
+    assert bare.data() == plain
+    # a normal stream (no Crypt filter) still decrypts through /StmF
+    from docling_spark.pdfx.crypt import rc4
+
+    key = doc._crypt._object_key(7, 0, aes=False)
+    ct = rc4(key, b"BT ET")
+    normal = Stream({}, ct, doc, num=7, gen=0)
+    assert normal.data() == b"BT ET"
+
+
 def test_py_aes_fallback_warns_once(monkeypatch, caplog):
     """The pure-Python AES path must announce itself (verdict 'wrong' #4)."""
     import logging

@@ -211,3 +211,60 @@ def test_curation_gates_stream_batch_parity(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_probe_stream_batch_parity_across_restart(spark, tmp_path):
+    """Incremental Bloom dedup under availableNow micro-batches: the
+    streamed verdicts equal the batch bloom_maybe_dup over the same rows,
+    exactly-once across a stop + new-files + restart on one checkpoint
+    (VERDICT r4 'Next round' #8)."""
+    from docling_spark.ops import bloom
+    from docling_spark.streaming import bloom_probe_stream
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    filt = bloom.bloom_build(hist, "text").persist()
+    filt.count()
+
+    inp = str(tmp_path / "bloom_in")
+    out = str(tmp_path / "bloom_out")
+    ckpt = str(tmp_path / "bloom_ckpt")
+    schema = "doc_id long, text string"
+
+    wave1 = [(1000 + i, f"history doc {i}") for i in range(10)] + [
+        (2000 + i, f"fresh text {i}") for i in range(10)
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q = bloom_probe_stream(
+        spark, inp, filt, out, ckpt, key_col="text", schema=schema
+    )
+    q.awaitTermination(300)
+
+    # second wave lands after the first drain — restart on the SAME
+    # checkpoint processes only the new files
+    wave2 = [(3000 + i, f"history doc {50 + i}") for i in range(5)] + [
+        (4000, "never seen before")
+    ]
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = bloom_probe_stream(
+        spark, inp, filt, out, ckpt, key_col="text", schema=schema
+    )
+    q2.awaitTermination(300)
+
+    got_rows = spark.read.parquet(out).collect()
+    got = {r["doc_id"]: r["maybe_dup"] for r in got_rows}
+    assert len(got_rows) == len(got) == len(wave1) + len(wave2)  # exactly-once
+    all_rows = spark.createDataFrame(wave1 + wave2, schema)
+    want = {
+        r["doc_id"]: r["maybe_dup"]
+        for r in bloom.bloom_maybe_dup(all_rows, filt, "text").collect()
+    }
+    assert got == want
+    assert got[1000] is True and got[2000] is False and got[4000] is False
+    filt.unpersist()
