@@ -19,6 +19,22 @@ from typing import Iterator, Optional
 from .fonts import Font, load_fonts
 from .parser import Lexer, PdfPage, Stream
 
+# Latin ligature decomposition (docling-parse parity: the reference's PDF
+# goldens carry "fi"/"ffi", never U+FB01/U+FB03 — e.g. 2305.03393v1-pg9.md
+# "configuration", "di ffi cult"). Applied at glyph decode so every
+# downstream consumer (layout, serializers, chunker) sees decomposed text.
+_LIGATURES = str.maketrans(
+    {
+        0xFB00: "ff",
+        0xFB01: "fi",
+        0xFB02: "fl",
+        0xFB03: "ffi",
+        0xFB04: "ffl",
+        0xFB05: "ft",
+        0xFB06: "st",
+    }
+)
+
 Matrix = tuple[float, float, float, float, float, float]
 IDENTITY: Matrix = (1, 0, 0, 1, 0, 0)
 
@@ -180,7 +196,7 @@ class TextInterpreter:
                         # here so the line is uniformly visual-order and the
                         # bidi pass in layout.py restores everything at once
                         u = u[::-1]
-                    chars.append(u)
+                    chars.append(u.translate(_LIGATURES))
                 adv_total += adv
             # advance text matrix
             tm = mmul((1, 0, 0, 1, adv_total, 0), tm)

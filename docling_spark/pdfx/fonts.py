@@ -218,6 +218,7 @@ class Font:
         self.two_byte = False
         self.tounicode: dict[int, str] = {}
         self.enc_table: Optional[list[str]] = None
+        self.base_name = ""
         self.widths: dict[int, float] = {}
         self.default_width = 500.0
         try:
@@ -252,6 +253,7 @@ class Font:
         # simple font
         enc = doc.resolve(d.get("Encoding"))
         base_name = str(doc.resolve(d.get("BaseFont") or ""))
+        self.base_name = base_name
         symbolic = "Symbol" in base_name or "Dingbat" in base_name
         table = list(_STD if symbolic else _WIN)
         if isinstance(enc, (Name, str)) and str(enc) in _BASE_ENCODINGS:
@@ -268,7 +270,15 @@ class Font:
                     code = int(item)
                 elif isinstance(item, (Name, str)):
                     if 0 <= code < 256:
-                        table[code] = glyph_to_unicode(str(item))
+                        u = glyph_to_unicode(str(item))
+                        if not u and str(item) != ".notdef":
+                            # docling-parse parity: a glyph NAME with no
+                            # unicode mapping surfaces as its /name — the
+                            # reference's own golden for redp5110_sampled
+                            # reads "/g115/g3 /g40/g81..." for a symbol
+                            # font with gNN names and no ToUnicode
+                            u = "/" + str(item)
+                        table[code] = u
                     code += 1
         self.enc_table = table
         fc = doc.resolve(d.get("FirstChar"))
@@ -328,6 +338,12 @@ class Font:
                 u = self.tounicode.get(b)
                 if u is None:
                     u = self.enc_table[b] if self.enc_table else chr(b)
+                    if u == "" and self.base_name:
+                        # docling-parse parity: a code with NO mapping at
+                        # all surfaces as an explicit marker — the
+                        # reference golden redp5110_sampled.md contains
+                        # "GLYPH<c=1,font=/NKDKKL+JansonTextLTStd-Roman>"
+                        u = f"GLYPH<c={b},font=/{self.base_name}>"
                 yield b, u, self.widths.get(b, self.default_width)
 
 

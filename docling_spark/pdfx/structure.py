@@ -187,7 +187,9 @@ def page_blocks(cells: list[Cell], body_size: float) -> list[PdfBlock]:
     for blk_top, blk in _labeled_groups(rest, body_size):
         positioned.append((blk_top, blk))
     positioned.sort(key=lambda p: p[0])
-    return [b for _, b in positioned]
+    out = [b for _, b in positioned]
+    refine_block_bboxes(out, cells)
+    return out
 
 
 def _labeled_groups(
@@ -235,6 +237,56 @@ def assign_heading_levels(blocks: list[PdfBlock]) -> None:
     for b in blocks:
         if b.label == "section_header":
             b.level = rank[round(b.size * 2) / 2]
+
+
+def refine_block_bboxes(
+    blocks: list[PdfBlock], cells: list[Cell], min_overlap: float = 0.2
+) -> None:
+    """The deterministic LayoutPostprocessor geometry pass, re-derived
+    from the reference's cell→cluster max-overlap assignment
+    (/root/reference/docling/utils/layout_postprocessor.py:584-616) and
+    bbox tightening (:627-651): each cell goes to the block whose bbox
+    covers the largest fraction of the CELL's own area (≥ min_overlap);
+    block bboxes then shrink to the union of their assigned cells —
+    tables take the union of the original and the cells' bbox (the
+    reference keeps declared table extent). Text is untouched (text
+    parity is golden-pinned); this pass sharpens the geometry that feeds
+    DocTags loc tokens and span provenance."""
+    live = [b for b in blocks if b.bbox is not None]
+    if not live:
+        return
+    assigned: dict[int, list[Cell]] = {id(b): [] for b in live}
+    for c in cells:
+        if not c.text.strip():
+            continue
+        area = max((c.r - c.l), 0.0) * max((c.b - c.t), 0.0)
+        if area <= 0:
+            continue
+        best, best_ratio = None, min_overlap
+        for b in live:
+            l, t, r, bo = b.bbox
+            iw = min(c.r, r) - max(c.l, l)
+            ih = min(c.b, bo) - max(c.t, t)
+            if iw <= 0 or ih <= 0:
+                continue
+            ratio = (iw * ih) / area  # intersection_over_self
+            if ratio > best_ratio:
+                best, best_ratio = b, ratio
+        if best is not None:
+            assigned[id(best)].append(c)
+    for b in live:
+        got = assigned[id(b)]
+        if not got:
+            continue
+        tight = _union_bbox(got)
+        if b.label == "table":
+            l, t, r, bo = b.bbox
+            b.bbox = (
+                min(l, tight[0]), min(t, tight[1]),
+                max(r, tight[2]), max(bo, tight[3]),
+            )
+        else:
+            b.bbox = tight
 
 
 def blocks_to_spans(blocks: list[PdfBlock]) -> list[dict]:

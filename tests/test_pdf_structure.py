@@ -156,3 +156,48 @@ def test_pdf_doctags_located_and_roundtrip():
     # are pinned above and by the loc grammar round-trip goldens.)
     strip = lambda s: re.sub(r"<loc_\d+>", "", s)  # noqa: E731
     assert strip(to_doctags(parse_doctags(dt))) == strip(dt)
+
+
+def test_refine_block_bboxes_max_overlap_and_tightening():
+    """Deterministic LayoutPostprocessor geometry pass (reference
+    layout_postprocessor.py:584-651): cells re-assign to the block
+    covering most of their own area; non-table bboxes shrink to their
+    assigned cells' union, tables keep their declared extent unioned."""
+    from docling_spark.pdfx.layout import Cell
+    from docling_spark.pdfx.structure import PdfBlock, refine_block_bboxes
+
+    cells = [
+        Cell(0, "heading", 100, 100, 200, 112),
+        Cell(1, "body one", 100, 140, 300, 152),
+        Cell(2, "body two", 100, 156, 300, 168),
+        Cell(3, "t1", 100, 200, 130, 212),
+        Cell(4, "t2", 200, 200, 230, 212),
+    ]
+    # heading block declared with a LOOSE bbox that also covers the body
+    # cells' left half; body block loose too; table declared short
+    blocks = [
+        PdfBlock("section_header", "heading", bbox=(90, 90, 320, 130)),
+        PdfBlock("text", "body one body two", bbox=(90, 130, 320, 180)),
+        PdfBlock("table", "t1 t2", grid=[["t1", "t2"]], bbox=(100, 200, 210, 212)),
+    ]
+    refine_block_bboxes(blocks, cells)
+    assert blocks[0].bbox == (100, 100, 200, 112)  # tightened to its cell
+    assert blocks[1].bbox == (100, 140, 300, 168)  # union of body cells
+    # table: union of declared and assigned-cell extents (keeps r=230)
+    assert blocks[2].bbox == (100, 200, 230, 212)
+
+
+def test_refine_reassigns_cell_to_best_overlap():
+    """A cell lying mostly inside ANOTHER block's bbox migrates there for
+    geometry purposes (max intersection_over_self, min_overlap 0.2)."""
+    from docling_spark.pdfx.layout import Cell
+    from docling_spark.pdfx.structure import PdfBlock, refine_block_bboxes
+
+    stray = Cell(9, "stray", 150, 204, 170, 210)  # inside block B's area
+    blocks = [
+        PdfBlock("text", "a", bbox=(0, 0, 100, 100)),
+        PdfBlock("text", "b", bbox=(140, 200, 400, 260)),
+    ]
+    refine_block_bboxes(blocks, [Cell(0, "a", 10, 10, 90, 20), stray])
+    assert blocks[0].bbox == (10, 10, 90, 20)
+    assert blocks[1].bbox == (150, 204, 170, 210)  # tightened around stray

@@ -194,12 +194,12 @@ def test_rotated_page_extracts_upright(deg):
 # deterministic text layer should still recover nearly all golden CONTENT.
 GT = PDF_DIR.parent / "groundtruth" / "docling_v2"
 COVERAGE_FLOORS = {
-    "2305.03393v1-pg9": 0.98,
+    "2305.03393v1-pg9": 0.99,  # r5: ligature decomposition (fi/ffi)
     "multi_page": 0.99,
     "code_and_formula": 0.99,
     "picture_classification": 0.99,
     "amt_handbook_sample": 0.99,
-    "redp5110_sampled": 0.90,  # one page is image-only → needs_ocr
+    "redp5110_sampled": 0.95,  # r5: /gNN + GLYPH<c=..> parity markers; one page image-only → needs_ocr
 }
 
 
