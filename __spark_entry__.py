@@ -1379,7 +1379,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uspto_extract": q_uspto_extract,
         # -- chunking / curation / training-data ops --------------------
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
-        "curate": q_curate,
         "gopher_quality": q_gopher_quality,
         "c4_span_removal": q_c4_span_removal,
         "pii_scrub": q_pii_scrub,
@@ -1414,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- relational checklist (window dedup) ------------------------
         "dedup_latest": q_dedup_latest,
         # -- tail: value-redundant with / weaker than an earlier entry --
+        "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans

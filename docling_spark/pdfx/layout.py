@@ -46,6 +46,16 @@ def _is_rtl_char(c: str) -> bool:
     return "֐" <= c <= "ࣿ" or "יִ" <= c <= "ﻼ"
 
 
+def _is_arabic(c: str) -> bool:
+    # Arabic block + supplement + presentation forms A/B (cursive script)
+    o = ord(c)
+    return (
+        0x0600 <= o <= 0x077F
+        or 0xFB50 <= o <= 0xFDFF
+        or 0xFE70 <= o <= 0xFEFF
+    )
+
+
 _LTR_RUN = re.compile(r"[A-Za-z0-9][A-Za-z0-9 .,:/%+\-]*[A-Za-z0-9]|[A-Za-z0-9]")
 
 
@@ -135,7 +145,14 @@ def _runs_to_lines(runs: list[Run], page_height: float) -> list[Cell]:
                 txt = run.text
                 if prev_x1 is not None:
                     gap = x0 - prev_x1
-                    if gap > size * 0.17 and parts and not parts[-1].endswith(" ") and not txt.startswith(" "):
+                    # cursive scripts carry wider intra-word glyph gaps:
+                    # between two Arabic letters a real space is ≥ ~0.3 em,
+                    # while Latin-tuned 0.17 em splits words ("فعال ة")
+                    thr = 0.17
+                    if parts and parts[-1] and txt:
+                        if _is_arabic(parts[-1][-1]) and _is_arabic(txt[0]):
+                            thr = 0.34
+                    if gap > size * thr and parts and not parts[-1].endswith(" ") and not txt.startswith(" "):
                         parts.append(" ")
                 parts.append(txt)
                 prev_x1 = max(x1, prev_x1 if prev_x1 is not None else x1)
