@@ -1018,7 +1018,13 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops.chunker import pack_stats
     from docling_spark.ops.webtext import gopher_filter, repetition_signals
 
-    pages = synth_pages(spark, sf_dir, variants=2)
+    # corpus cap mirrors the other composed rows (dedup_clusters < 100,
+    # decontam < 200): bounded pair-graph/reachability work at any SF,
+    # no-op at the sf0.01 gate (500 docs); the filter sits BEFORE the
+    # extraction UDF so capped rows are never extracted
+    pages = synth_pages(spark, sf_dir, variants=2).filter(
+        F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long") < 1500
+    )
     ex = extract_pages(pages, base_uri_mode="none")
     rid = (
         F.regexp_extract("url", r"/doc/(\d+)", 1).cast("long") * 2
@@ -1583,7 +1589,7 @@ def _pipeline_e2e_oracle() -> str:
         ex0 AS (
           SELECT d.doc_id AS src_id, vv.v AS v, {SYNTH_MD_SQL} AS wtext,
                  d.lang
-          FROM documents d CROSS JOIN vv),
+          FROM documents d CROSS JOIN vv WHERE d.doc_id < 1500),
         ex AS (SELECT src_id * 2 + v AS doc_id, src_id, wtext, lang
                FROM ex0),
         wt AS (SELECT doc_id, wtext FROM ex),

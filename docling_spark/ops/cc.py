@@ -97,12 +97,21 @@ def connected_components(
     converge in 1-3 rounds). Raises if not converged, rather than
     silently returning partial components.
     """
+    base = edges.select("u", "v")
+    if checkpoint:
+        # cut the UPSTREAM plan once before iterating: a round references
+        # its edge frame several times (symmetrize, min-aggregate, join),
+        # and node extraction adds two more — without this cut an
+        # expensive producer plan (LSH banding over a corpus) re-executes
+        # per reference. Lazy: the first round's checksum action
+        # materializes it, so no extra job
+        base = base.localCheckpoint(eager=False)
     nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
         .distinct()
     )
-    cur = edges.select("u", "v")
+    cur = base
     prev_sig: tuple[int, int] | None = None
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur))
