@@ -136,13 +136,17 @@ def pack_stats(
     pack_ids = F.transform(
         cums, lambda c: F.floor((c - 1) / F.lit(budget_tokens))
     )
+    # null spans (a failed extraction row) → zero counts, never -1/null
     return extracted.select(
         *key_cols,
-        F.size(chunk_texts).alias("n_chunks"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x).alias(
-            "n_tokens"
+        F.greatest(F.size(chunk_texts), F.lit(0)).alias("n_chunks"),
+        F.coalesce(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
+        F.greatest(F.size(F.array_distinct(pack_ids)), F.lit(0)).alias(
+            "n_packs"
         ),
-        F.size(F.array_distinct(pack_ids)).alias("n_packs"),
     )
 
 

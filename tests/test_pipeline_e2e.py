@@ -121,6 +121,20 @@ def test_pack_stats_match_pack_chunks(spark):
     assert a == b
 
 
+def test_pack_stats_null_spans_yield_zero_counts(spark):
+    """A failed-extraction row (spans = NULL) must produce zero counts,
+    never -1/null — one bad doc can't poison downstream accounting."""
+    from docling_spark.ops.chunker import pack_stats
+    from docling_spark.schema import EXTRACTED_SCHEMA
+
+    span_t = EXTRACTED_SCHEMA["spans"].dataType.simpleString()
+    df = spark.createDataFrame(
+        [("u1", None)], f"url string, spans {span_t}"
+    )
+    r = pack_stats(df, budget_tokens=16).collect()[0]
+    assert (r["n_chunks"], r["n_tokens"], r["n_packs"]) == (0, 0, 0)
+
+
 def test_text_never_reshuffled_between_stages(spark, result):
     """Plan audit: exactly one extraction (MapInPandas) feeds a cache;
     every Exchange in the live plan carries only slim verdict/key columns
