@@ -685,8 +685,20 @@ def q_mm_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("m_height"),
         F.col("n_tracks").alias("m_tracks"),
     )
+    # round-5: REAL in-container sample decode for uncompressed ('twos')
+    # PCM tracks — stsd/stsc/stsz/stco chunk walk (ops/mp4.py); only
+    # compressed codecs (avc1/mp4a) remain behind the ffmpeg-class seam
+    pcm = mm.mp4_audio_features(media, col="mp4_pcm").select(
+        "doc_id",
+        F.col("rate").alias("p_rate"),
+        F.col("n_samples").alias("p_n"),
+        F.col("mean_amp").alias("p_mean"),
+        F.col("peak").alias("p_peak"),
+        F.col("rms").alias("p_rms"),
+    )
     out = meta
-    for d in (feats, rez, jm, jf, wav, wavf, gif, apng, tif, bmp, webp, mp4):
+    for d in (feats, rez, jm, jf, wav, wavf, gif, apng, tif, bmp, webp, mp4,
+              pcm):
         out = out.join(d, "doc_id")
     return out
 
@@ -2493,7 +2505,24 @@ def oracle_sql() -> dict[str, str]:
                        AS m_duration_ms,
                    CAST(160 + 16 * (d.doc_id % 20) AS INTEGER) AS m_width,
                    CAST(120 + 16 * (d.doc_id % 15) AS INTEGER) AS m_height,
-                   CAST(1 + d.doc_id % 2 AS INTEGER) AS m_tracks
+                   CAST(1 + d.doc_id % 2 AS INTEGER) AS m_tracks,
+                   -- r5 PCM-in-MP4 law (ops/mp4.build_mp4_pcm): rate 8000,
+                   -- n = 64 + id%64, s_i = ((id*31 + i*7) % 65536) - 32768
+                   8000 AS p_rate,
+                   CAST(64 + d.doc_id % 64 AS INTEGER) AS p_n,
+                   (SELECT avg(((d.doc_id * 31 + i.i * 7) % 65536) - 32768)
+                    FROM (SELECT unnest(range(0, 64 + d.doc_id % 64)) AS i) i
+                   ) AS p_mean,
+                   CAST((SELECT max(abs(((d.doc_id * 31 + i.i * 7) % 65536)
+                                        - 32768))
+                    FROM (SELECT unnest(range(0, 64 + d.doc_id % 64)) AS i) i
+                   ) AS INTEGER) AS p_peak,
+                   round((SELECT sqrt(avg(
+                           CAST(((d.doc_id * 31 + i.i * 7) % 65536) - 32768
+                                AS DOUBLE)
+                           * (((d.doc_id * 31 + i.i * 7) % 65536) - 32768)))
+                    FROM (SELECT unnest(range(0, 64 + d.doc_id % 64)) AS i) i
+                   ), 6) AS p_rms
             FROM documents d
         """,
         "mm_png_ops": """

@@ -5,10 +5,12 @@ BMP work: REAL container bytes (our own builder emits genuine ISO/IEC
 14496-12 box structure) and a genuine parser — ftyp brand, mvhd
 timescale/duration (both version 0 and version 1 layouts), per-trak
 tkhd 16.16 fixed-point dimensions, largesize (64-bit) boxes, unknown-
-box skipping. Frame/sample DECODING (avc1/mp4a codecs) stays behind
-the documented NN/codec seam in ops/multimodal.py — a real pipeline
-hands mdat to ffmpeg; the metadata path here is what partitioning,
-routing and dedup actually consume.
+box skipping. Round 5 adds REAL in-container sample decode for
+UNCOMPRESSED audio tracks ('twos'/'sowt' PCM16: full
+stsd/stts/stsc/stsz/stco sample-table chain, two-chunk layouts,
+endianness normalization) — only compressed codecs (avc1/mp4a) remain
+behind the documented ffmpeg-class seam in ops/multimodal.py; the
+metadata path is what partitioning, routing and dedup consume.
 
 Deterministic law (mirrored by the mm_codecs oracle):
   timescale 600; duration units 600*(3 + doc_id%27) + doc_id%7;
@@ -138,3 +140,173 @@ def parse_mp4(data: bytes) -> dict:
         "height": height,
         "n_tracks": n_tracks,
     }
+
+
+# --------------------------------------------------- PCM sample decode (r5)
+def _full(version: int = 0, flags: int = 0) -> bytes:
+    return bytes([version, (flags >> 16) & 0xFF, (flags >> 8) & 0xFF, flags & 0xFF])
+
+
+def build_mp4_pcm(doc_id: int) -> bytes:
+    """Audio-only MP4 with a COMPLETE sample table ('twos' big-endian
+    PCM16, ISO 14496-12 stbl chain: stsd/stts/stsc/stsz/stco) — the
+    container shape QuickTime-style uncompressed audio actually uses.
+
+    Deterministic law (mirrored by the mm_codecs oracle):
+      rate 8000 Hz, mono; n_samples = 64 + doc_id % 64;
+      sample[i] = ((doc_id * 31 + i * 7) % 65536) - 32768;
+      samples split across TWO chunks (exercises the stsc/stco walk).
+    """
+    rate, n = 8000, 64 + doc_id % 64
+    pcm = b"".join(
+        struct.pack(">h", ((doc_id * 31 + i * 7) % 65536) - 32768)
+        for i in range(n)
+    )
+    c1 = (n + 1) // 2  # samples in chunk 1
+    stsd_entry = (
+        struct.pack(">I", 36) + b"twos"
+        + b"\x00" * 6 + struct.pack(">H", 1)        # data_reference_index
+        + b"\x00" * 8                                # version/revision/vendor
+        + struct.pack(">HH", 1, 16)                  # channels, sample size
+        + struct.pack(">HH", 0, 0)                   # compression, packet
+        + struct.pack(">I", rate << 16)              # 16.16 sample rate
+    )
+    stsd = _box(b"stsd", _full() + struct.pack(">I", 1) + stsd_entry)
+    stts = _box(b"stts", _full() + struct.pack(">III", 1, n, 1))
+    stsc = _box(
+        b"stsc",
+        _full()
+        + struct.pack(">I", 2)
+        + struct.pack(">III", 1, c1, 1)
+        + struct.pack(">III", 2, n - c1, 1),
+    )
+    stsz = _box(b"stsz", _full() + struct.pack(">II", 2, n))  # uniform 2 B
+    # stco offsets are absolute file offsets into mdat — computed after
+    # sizing the head below (two passes with a placeholder)
+    def assemble(off1: int, off2: int) -> bytes:
+        stco = _box(b"stco", _full() + struct.pack(">III", 2, off1, off2))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dref = _box(
+            b"dref",
+            _full() + struct.pack(">I", 1) + _box(b"url ", _full(0, 1)),
+        )
+        minf = _box(
+            b"minf",
+            _box(b"smhd", _full() + struct.pack(">HH", 0, 0))
+            + _box(b"dinf", dref)
+            + stbl,
+        )
+        mdhd = _box(
+            b"mdhd",
+            _full() + struct.pack(">IIIIHH", 0, 0, rate, n, 0x55C4, 0),
+        )
+        hdlr = _box(
+            b"hdlr", _full() + b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", _tkhd(0, 1, n, 0, 0) + mdia)
+        moov = _box(b"moov", _mvhd(0, rate, n) + trak)
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+        return ftyp + moov
+    head = assemble(0, 0)
+    off1 = len(head) + 8  # mdat payload start
+    off2 = off1 + 2 * c1
+    head = assemble(off1, off2)
+    return head + _box(b"mdat", pcm)
+
+
+def extract_pcm_mp4(data: bytes) -> dict:
+    """Decode the FIRST uncompressed-PCM audio track's samples from an
+    ISO-BMFF container: stsd 'twos' (big-endian) / 'sowt' (little-endian)
+    16-bit entries, sample layout from stsc/stsz/stco. Compressed codecs
+    (avc1/mp4a/...) raise ValueError — that decode is the documented
+    ffmpeg-class seam; PCM needs no codec, only the container walk.
+
+    Returns {rate, channels, n_samples, samples: bytes (host-order i2)}."""
+    import array
+
+    def find(typ: bytes, start: int, end: int):
+        for t, p, e in _walk(data, start, end):
+            if t == typ:
+                return p, e
+        return None
+
+    moov = find(b"moov", 0, len(data))
+    if moov is None:
+        raise ValueError("no moov")
+    for t, p, e in _walk(data, *moov):
+        if t != b"trak":
+            continue
+        mdia = find(b"mdia", p, e)
+        if mdia is None:
+            continue
+        hdlr = find(b"hdlr", *mdia)
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = find(b"minf", *mdia)
+        stbl = find(b"stbl", *minf) if minf else None
+        if stbl is None:
+            continue
+        stsd = find(b"stsd", *stbl)
+        if stsd is None:
+            continue
+        fmt = data[stsd[0] + 12 : stsd[0] + 16]
+        if fmt not in (b"twos", b"sowt"):
+            raise ValueError(
+                f"compressed audio codec {fmt.decode('latin-1')!r}:"
+                " sample decode is behind the codec seam"
+            )
+        entry = stsd[0] + 8
+        channels, bits = struct.unpack_from(">HH", data, entry + 24)
+        rate = struct.unpack_from(">I", data, entry + 32)[0] >> 16
+        if bits != 16:
+            raise ValueError(f"unsupported PCM depth {bits}")
+        stsz = find(b"stsz", *stbl)
+        stsc = find(b"stsc", *stbl)
+        stco = find(b"stco", *stbl)
+        if not (stsz and stsc and stco):
+            raise ValueError("incomplete sample table")
+        uniform, n_samples = struct.unpack_from(">II", data, stsz[0] + 4)
+        sizes = (
+            [uniform] * n_samples
+            if uniform
+            else list(
+                struct.unpack_from(f">{n_samples}I", data, stsz[0] + 12)
+            )
+        )
+        n_stsc = struct.unpack_from(">I", data, stsc[0] + 4)[0]
+        runs = [
+            struct.unpack_from(">III", data, stsc[0] + 8 + 12 * i)
+            for i in range(n_stsc)
+        ]
+        n_chunks = struct.unpack_from(">I", data, stco[0] + 4)[0]
+        offsets = [
+            struct.unpack_from(">I", data, stco[0] + 8 + 4 * i)[0]
+            for i in range(n_chunks)
+        ]
+        # expand samples-per-chunk runs across the chunk list
+        per_chunk = []
+        for i, (first, spc, _desc) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        raw = bytearray()
+        si = 0
+        for off, spc in zip(offsets, per_chunk):
+            take = sum(sizes[si : si + spc])
+            raw += data[off : off + take]
+            si += spc
+        samples = array.array("h")
+        samples.frombytes(bytes(raw))
+        import sys as _sys
+
+        if (fmt == b"twos" and _sys.byteorder == "little") or (
+            fmt == b"sowt" and _sys.byteorder == "big"
+        ):
+            samples.byteswap()
+        return {
+            "rate": int(rate),
+            "channels": int(channels),
+            "n_samples": int(n_samples),
+            "samples": samples.tobytes(),
+        }
+    raise ValueError("no PCM audio track")

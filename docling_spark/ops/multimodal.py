@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .mp4 import build_mp4 as _build_mp4
+from .mp4 import build_mp4_pcm as _build_mp4_pcm
 
 # deterministic per-doc parameters (the oracle recomputes these in SQL)
 def _img_params(doc_id: int) -> tuple[int, int, int, int]:
@@ -284,6 +285,7 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "bmp": [make_bmp_header(i) for i in ids],
                     "webp": [make_webp_header(i) for i in ids],
                     "mp4": [_build_mp4(i) for i in ids],
+                    "mp4_pcm": [_build_mp4_pcm(i) for i in ids],
                 }
             )
 
@@ -293,7 +295,8 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, image binary, png binary, video binary, "
             "gif_video binary, apng_video binary, audio binary, "
             "wav binary, jpeg binary, jpeg_full binary, tiff binary, "
-            "gif binary, bmp binary, webp binary, mp4 binary"
+            "gif binary, bmp binary, webp binary, mp4 binary, "
+            "mp4_pcm binary"
         ),
     )
 
@@ -631,4 +634,52 @@ def sniff_image_meta(media: DataFrame, col: str) -> DataFrame:
     return media.select("doc_id", col).mapInPandas(
         run,
         schema="doc_id long, format string, width int, height int, channels int",
+    )
+
+
+def mp4_audio_features(media: DataFrame, col: str = "mp4_pcm") -> DataFrame:
+    """PCM16 statistics decoded from ISO-BMFF sample tables (ops/mp4.py
+    extract_pcm_mp4: 'twos'/'sowt' stsd entries, stsc/stsz/stco chunk
+    walk) — REAL in-container sample decode for uncompressed audio
+    tracks; compressed codecs (avc1/mp4a) stay behind the documented
+    seam and surface as null rows, never task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .mp4 import extract_pcm_mp4
+
+        for b in batches:
+            rows = []
+            for doc_id, blob in zip(b["doc_id"], b[col]):
+                try:
+                    r = extract_pcm_mp4(bytes(blob))
+                    samples = np.frombuffer(r["samples"], dtype=np.int16).astype(
+                        np.float64
+                    )
+                    rows.append(
+                        (
+                            int(doc_id),
+                            int(r["rate"]),
+                            int(r["n_samples"]),
+                            float(samples.mean()),
+                            int(np.abs(samples).max()),
+                            round(float(np.sqrt((samples**2).mean())), 6),
+                        )
+                    )
+                except Exception:
+                    rows.append((int(doc_id), None, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rate", "n_samples", "mean_amp", "peak", "rms"
+                ],
+            )
+
+    return media.select("doc_id", col).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, rate int, n_samples int, mean_amp double,"
+            " peak int, rms double"
+        ),
     )

@@ -76,3 +76,81 @@ def test_fuzz_no_hangs_or_crashes():
             parse_mp4(bytes(mut))
         except (ValueError, struct.error):
             pass
+
+
+# ----------------------------------------------- round-5 PCM sample decode
+def test_pcm_roundtrip_exact():
+    """build_mp4_pcm → extract_pcm_mp4 recovers every sample exactly
+    (two-chunk stco/stsc layout, big-endian 'twos')."""
+    import numpy as np
+
+    from docling_spark.ops.mp4 import build_mp4_pcm, extract_pcm_mp4
+
+    for d in (0, 1, 13, 63, 64, 255):
+        r = extract_pcm_mp4(build_mp4_pcm(d))
+        n = 64 + d % 64
+        assert (r["rate"], r["channels"], r["n_samples"]) == (8000, 1, n)
+        got = np.frombuffer(r["samples"], dtype=np.int16)
+        want = np.array(
+            [((d * 31 + i * 7) % 65536) - 32768 for i in range(n)],
+            dtype=np.int16,
+        )
+        assert np.array_equal(got, want)
+
+
+def test_pcm_sowt_little_endian_variant():
+    """'sowt' (little-endian) stsd entries decode identically — byte order
+    is normalized to host order."""
+    import numpy as np
+
+    from docling_spark.ops.mp4 import build_mp4_pcm, extract_pcm_mp4
+
+    blob = build_mp4_pcm(5)
+    # rewrite the stsd format and byteswap the mdat payload
+    i = blob.index(b"twos")
+    swapped = bytearray(blob)
+    swapped[i : i + 4] = b"sowt"
+    j = blob.index(b"mdat") + 4
+    pcm = np.frombuffer(blob[j:], dtype=">i2").astype("<i2")
+    swapped[j:] = pcm.tobytes()
+    a = extract_pcm_mp4(bytes(blob))
+    b = extract_pcm_mp4(bytes(swapped))
+    assert a["samples"] == b["samples"]
+
+
+def test_compressed_codec_raises_clean_seam_error():
+    from docling_spark.ops.mp4 import build_mp4_pcm, extract_pcm_mp4
+
+    blob = bytearray(build_mp4_pcm(3))
+    i = blob.index(b"twos")
+    blob[i : i + 4] = b"mp4a"
+    try:
+        extract_pcm_mp4(bytes(blob))
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "seam" in str(e)
+
+
+def test_pcm_parser_survives_fuzz():
+    """Truncated/bit-flipped PCM containers raise ValueError or decode —
+    never hang or throw unexpected exception types."""
+    import hashlib
+    import struct as _struct
+
+    from docling_spark.ops.mp4 import build_mp4_pcm, extract_pcm_mp4
+
+    base = build_mp4_pcm(9)
+    for cut in (0, 7, 20, 60, len(base) // 2, len(base) - 3):
+        try:
+            extract_pcm_mp4(base[:cut])
+        except (ValueError, _struct.error, IndexError):
+            pass
+    for seed in range(24):
+        h = hashlib.md5(f"fuzz{seed}".encode()).digest()
+        pos = int.from_bytes(h[:4], "big") % len(base)
+        flipped = bytearray(base)
+        flipped[pos] ^= h[4] or 1
+        try:
+            extract_pcm_mp4(bytes(flipped))
+        except (ValueError, _struct.error, IndexError):
+            pass

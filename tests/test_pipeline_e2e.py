@@ -121,6 +121,59 @@ def test_pack_stats_match_pack_chunks(spark):
     assert a == b
 
 
+def test_pack_stats_property_vs_reference_fold(spark):
+    """Property: for random chunk token counts (including over-budget
+    chunks that SKIP pack ids), pack_stats' in-row arithmetic equals a
+    pure-Python reference fold of pack_chunks' boundary rule."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_spark.ops.chunker import pack_stats
+
+    # one spark round-trip per example is too slow; generate a batch of
+    # documents per example instead
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        ),
+        st.integers(min_value=1, max_value=24),
+    )
+    def check(docs_tokens, budget):
+        rows = []
+        for d, toks in enumerate(docs_tokens):
+            spans = [
+                {
+                    "idx": i,
+                    "parent": -1,
+                    "kind": "text",
+                    "label": "text",
+                    "text": " ".join(["w"] * n),  # n whitespace tokens
+                    "content_layer": "body",
+                }
+                for i, n in enumerate(toks)
+            ]
+            rows.append((f"u{d}", spans))
+        from docling_spark.schema import EXTRACTED_SCHEMA
+
+        span_t = EXTRACTED_SCHEMA["spans"].dataType.simpleString()
+        df = spark.createDataFrame(rows, f"url string, spans {span_t}")
+        got = {
+            r["url"]: (r["n_chunks"], r["n_tokens"], r["n_packs"])
+            for r in pack_stats(df, budget_tokens=budget).collect()
+        }
+        for d, toks in enumerate(docs_tokens):
+            cum, ids = 0, set()
+            for n in toks:
+                cum += n
+                ids.add((cum - 1) // budget)
+            assert got[f"u{d}"] == (len(toks), sum(toks), len(ids))
+
+    check()
+
+
 def test_pack_stats_null_spans_yield_zero_counts(spark):
     """A failed-extraction row (spans = NULL) must produce zero counts,
     never -1/null — one bad doc can't poison downstream accounting."""
