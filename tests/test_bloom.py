@@ -112,3 +112,68 @@ def test_production_m_withholds_broadcast_hint(spark):
         "BroadcastHashJoin"
         in forced._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_big_m_bucketed_probe_is_shuffle_free_on_filter_side(spark, tmp_path):
+    """The documented big-m path (module docstring): persist the set-bit
+    table BUCKETED on pos and bucket the candidate positions the same way
+    → the membership join runs with ZERO exchanges (bucket once, probe
+    every future ingest shuffle-free), verdicts identical to the plain
+    path."""
+    import shutil
+
+    big_m = bloom.BROADCAST_M_CEILING << 4
+    hist = _df(spark, [(i, f"history doc {i}") for i in range(80)])
+    batch = _df(
+        spark,
+        [(900, "history doc 3"), (901, "something new entirely")],
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bloom_bits", "bloom_cand"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bloom.bloom_build(hist, "text", m=big_m).write.bucketBy(
+            4, "pos"
+        ).sortBy("pos").mode("overwrite").saveAsTable("bloom_bits")
+        cand = batch.select(
+            "doc_id",
+            F.explode(
+                bloom._positions(F.md5(F.col("text")), big_m, bloom.DEFAULT_K)
+            ).alias("pos"),
+        )
+        cand.write.bucketBy(4, "pos").sortBy("pos").mode(
+            "overwrite"
+        ).saveAsTable("bloom_cand")
+        flt = spark.table("bloom_bits").withColumn("__set", F.lit(1))
+        probe = (
+            spark.table("bloom_cand")
+            .join(flt, "pos", "left")
+            .groupBy("doc_id")
+            .agg(
+                (F.sum(F.coalesce("__set", F.lit(0))) == bloom.DEFAULT_K).alias(
+                    "maybe_dup"
+                )
+            )
+        )
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        # join itself is exchange-free; the only exchange is the final
+        # slim per-doc agg
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Bucketed: true" in plan
+        assert "Exchange" not in join_part
+        got = {r["doc_id"]: r["maybe_dup"] for r in probe.collect()}
+        want = {
+            r["doc_id"]: r["maybe_dup"]
+            for r in bloom.bloom_maybe_dup(
+                batch, bloom.bloom_build(hist, "text", m=big_m), "text",
+                m=big_m,
+            ).collect()
+        }
+        assert got == want == {900: True, 901: False}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        for t in ("bloom_bits", "bloom_cand"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
