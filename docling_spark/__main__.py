@@ -348,6 +348,11 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "convert":
         return convert_main(argv[1:])
+    if argv and argv[0] == "web":
+        # reference web_demo.py analog: upload-convert REST demo
+        from docling_spark.web_demo import main as web_main
+
+        return web_main(argv[1:])
     p = argparse.ArgumentParser(prog="docling_spark")
     p.add_argument("--input", required=True, help="pages table path (parquet/iceberg)")
     p.add_argument("--output", required=True, help="output root (data/ + lineage/)")
