@@ -6,9 +6,13 @@ m=8 subspaces × 16 centroids are 8 GB (32× smaller) and the asymmetric-
 distance search touches ONLY the codes. This is the standard Jégou et
 al. (TPAMI 2011) design, composed Spark-first:
 
-- training: deterministic sampled Lloyd per subspace (the ops/ann.py
-  fit_codebook strategy — bounded driver sample, no randomness, L2
-  metric on subvectors), yielding a (subspace, code, centroid) frame;
+- training: deterministic Lloyd per subspace yielding a
+  (subspace, code, centroid) frame — either the bounded driver-sample
+  trainer (``fit_pq_codebooks``, exactly oracle-reproducible) or the
+  FULLY DISTRIBUTED one (``fit_pq_codebooks_distributed``: all m
+  subspaces in one Arrow partial-sum pass per iteration, the
+  ops/ann.fit_codebook_distributed shape — the production path for
+  10^9+ vectors where a 4096-row sample underfits);
 - encoding: one vectorized pandas UDF over the corpus — per subspace,
   argmin L2 to the m×k broadcast centroids → `array<int>` codes
   (k ≤ 256 ⇒ one byte per subspace in storage);
