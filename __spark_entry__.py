@@ -892,6 +892,29 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(synth_pii_text(spark, sf_dir))
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (ops/substrdedup.py, Lee et al. 2107.06499
+    ExactSubstr): every duplicated 8-token window — cross- or
+    intra-document — is excised, global first occurrence kept; merged
+    removal islands counted. In-row gram hashing, ONE gram-key
+    exchange, doc_id partial agg, one join back, in-row rebuild."""
+    from docling_spark.ops.substrdedup import substr_dedup, synth_boiler_text
+
+    return substr_dedup(synth_boiler_text(spark, sf_dir))
+
+
+def _substr_oracle() -> str:
+    from docling_spark.ops.substrdedup import BOILER_CTE_SQL, substr_oracle_sql
+
+    return substr_oracle_sql(BOILER_CTE_SQL)
+
+
+def _semdedup_oracle() -> str:
+    from docling_spark.ops.semdedup import semdedup_oracle_sql
+
+    return semdedup_oracle_sql()
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain cap (ops/curate.domain_cap): synth multi-domain crawl
     frame in the north-rule shape (url, warc_ts), keep <= 3 docs per host
@@ -1264,6 +1287,18 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (ops/semdedup.py, Abbas et al. 2303.09540): cluster the
+    embeddings (broadcast seeded codebook), compare pairs ONLY inside a
+    cluster, remove the centroid-closer member of every >= tau pair.
+    Equi-join on cluster id — the paper's bounded-quadratic shape,
+    never corpus-wide all-pairs. Input = embeddings + deterministic
+    injected near-dups (exact-direction and perturbed copies)."""
+    from docling_spark.ops.semdedup import semdedup, synth_semdedup_input
+
+    return semdedup(synth_semdedup_input(spark, sf_dir))
+
+
 def q_embedding_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 200)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
@@ -1399,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_pack_bpe_full": q_chunk_pack_bpe_full,
         "gopher_quality": q_gopher_quality,
         "c4_span_removal": q_c4_span_removal,
+        "substr_dedup": q_substr_dedup,
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
@@ -1418,6 +1454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
+        "semdedup": q_semdedup,
         "ivf_search": q_ivf_search,
         "embedding_dups_lsh": q_embedding_dups_lsh,
         # -- relational checklist ---------------------------------------
@@ -2658,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_clean": _c4_oracle("clean"),
         "c4_span_dedup": _c4_oracle("span"),
         "c4_span_removal": _c4_oracle("removal"),
+        "substr_dedup": _substr_oracle(),
         "pii_scrub": _pii_oracle(),
         "domain_cap": """
             WITH c AS (
@@ -2989,6 +3027,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, centroid_id, sim AS centroid_sim
             FROM ranked WHERE rn = 1
         """,
+        "semdedup": _semdedup_oracle(),
         "ivf_search": """
             WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
             c AS (SELECT vec_id AS centroid_id, embedding AS centroid
