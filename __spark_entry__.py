@@ -883,6 +883,23 @@ def q_c4_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_remove_dup_spans(synth_webtext(spark, sf_dir))
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-text normalization (ops/normalize.py): mojibake repair
+    (cp1252 double-encoding table, the deterministic core of ftfy),
+    control/zero-width strip with counts, CRLF fold, NBSP and
+    whitespace canonicalization — one in-row JVM projection, zero
+    shuffles, zero Python; clean text itself value-checked."""
+    from docling_spark.ops.normalize import normalize_text, synth_dirty_text
+
+    return normalize_text(synth_dirty_text(spark, sf_dir))
+
+
+def _normalize_oracle() -> str:
+    from docling_spark.ops.normalize import DIRTY_CTE_SQL, normalize_oracle_sql
+
+    return normalize_oracle_sql(DIRTY_CTE_SQL)
+
+
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII hygiene (ops/pii.py): email/phone/IPv4 redaction to typed
     placeholders with per-type counts — chained JVM regexp ops, zero
@@ -913,6 +930,29 @@ def _semdedup_oracle() -> str:
     from docling_spark.ops.semdedup import semdedup_oracle_sql
 
     return semdedup_oracle_sql()
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (ops/dsir.py, Xie et al. 2302.03169):
+    hashed unigram+bigram bag models on the trusted lang='en' slice vs
+    the raw pool, dyadic-quantized log importance ratios (bit-identical
+    sums across engines and reduction orders), stateless-hash Gumbel
+    top-25% resample. Bucket-keyed partial aggs + broadcast ratio dim +
+    one doc_id agg; the exact-rank tail is a slim global window
+    (production form: approx-quantile threshold cut, see docstring)."""
+    from docling_spark.ops.dsir import dsir_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_weights(docs, target_filter=F.col("lang") == "en")
+
+
+def _dsir_oracle() -> str:
+    from docling_spark.ops.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql(
+        "wt AS (SELECT doc_id, text AS wtext, lang FROM documents)",
+        "lang = 'en'",
+    )
 
 
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,6 +1475,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "c4_span_removal": q_c4_span_removal,
         "substr_dedup": q_substr_dedup,
+        "dsir_weights": q_dsir_weights,
+        "text_normalize": q_text_normalize,
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
@@ -2696,6 +2738,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_span_dedup": _c4_oracle("span"),
         "c4_span_removal": _c4_oracle("removal"),
         "substr_dedup": _substr_oracle(),
+        "dsir_weights": _dsir_oracle(),
+        "text_normalize": _normalize_oracle(),
         "pii_scrub": _pii_oracle(),
         "domain_cap": """
             WITH c AS (
