@@ -991,6 +991,44 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_filter(urls, urlfilter.blocked_domains(spark))
 
 
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
+    fragment/tracking-param/default-port/case/path normalization as one
+    in-row JVM projection, then keep-latest-snapshot per canonical key —
+    ONE hash exchange + shared-sort window. The cheap, certain layer of
+    web dedup that runs before any shingling."""
+    from docling_spark.ops.urlnorm import canonical_dedup, synth_messy_urls
+
+    return canonical_dedup(
+        synth_messy_urls(_docs(spark, sf_dir).select("doc_id"))
+    )
+
+
+def _canonical_dedup_oracle() -> str:
+    from docling_spark.ops.urlnorm import canonical_dedup_oracle_sql
+
+    return canonical_dedup_oracle_sql()
+
+
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperlink extraction from raw HTML bytes (ops/linkgraph.py):
+    regexp_extract_all over the decoded blob, bounded explode, relative/
+    protocol-relative resolution against the page URL, mailto/js/
+    fragment drops — zero Python — then per-node in/out degree +
+    dangling flag. The oracle derives the edge set INDEPENDENTLY from
+    the anchor law (doc_id arithmetic, never touching HTML), so regex
+    extraction and resolution are value-checked end-to-end."""
+    from docling_spark.ops.linkgraph import link_degrees, web_edges
+
+    return link_degrees(web_edges(spark, sf_dir))
+
+
+def _link_graph_oracle() -> str:
+    from docling_spark.ops.linkgraph import link_degrees_oracle_sql
+
+    return link_degrees_oracle_sql()
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1480,6 +1518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
+        "canonical_dedup": q_canonical_dedup,
+        "link_graph": q_link_graph,
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
         "curate_web": q_curate_web,
@@ -2758,6 +2798,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
         "url_filter": _urlfilter_oracle(),
+        "canonical_dedup": _canonical_dedup_oracle(),
+        "link_graph": _link_graph_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),

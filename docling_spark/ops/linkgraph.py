@@ -1,0 +1,205 @@
+"""Hyperlink extraction from raw HTML -> web link graph.
+
+The crawl-side companion to ops/graph (PageRank) and ops/urlfilter:
+pull ``<a href>`` targets out of the raw ``html`` bytes, resolve them
+against the page's own URL (absolute kept, ``//host/...``
+protocol-relative and ``/path`` root-relative resolved, ``mailto:``/
+``javascript:``/fragment-only dropped), and emit a ``(src, dst)`` edge
+list ready for ops/graph.pagerank or in/out-degree analytics.
+
+Scale shape: the whole extraction is in-row JVM work —
+``regexp_extract_all`` over the decoded blob, a bounded ``explode``
+(fan-out = links per page, tens), and string resolution — zero Python,
+zero joins. The only exchange in ``link_degrees`` is the two
+half-aggregations on ``src``/``dst`` (map-side partial first). At
+10^12 pages the edge list never materializes beyond its shuffle
+partitions; PageRank downstream reuses ops/graph's persisted
+edge layout.
+
+No reference counterpart (docling has no crawl stage); the HREF regex
+deliberately mirrors what a WAT extraction would produce for plain
+double-quoted anchors — the synthetic corpus only emits that shape, so
+the law is exact for tests while the operator stays honest about
+real-world HTML (single quotes / unquoted hrefs would extend the
+regex, not the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HREF_RE = r'<a\s[^>]*href="([^"]*)"'
+
+
+def _origin(url: Column) -> Column:
+    """scheme://host[:port] of a URL (for root-relative resolution)."""
+    return F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+
+
+def _scheme(url: Column) -> Column:
+    return F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+
+
+def resolve_href(base_url: Column, href: Column) -> Column:
+    """Resolve one href against its page URL; NULL for dropped schemes
+    (mailto:, javascript:), fragment-only links and empty hrefs."""
+    return (
+        F.when(href.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+        .when(href.startswith("//"), F.concat(_scheme(base_url), F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(_origin(base_url), href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(url, html:binary) -> (src, dst) edge list, distinct, self-links
+    dropped. Pure JVM: decode -> regexp_extract_all -> explode ->
+    resolve -> filter."""
+    hrefs = F.array_distinct(
+        F.regexp_extract_all(F.decode(F.col("html"), "UTF-8"), F.lit(HREF_RE), F.lit(1))
+    )
+    edges = (
+        pages.select(F.col("url").alias("src"), F.explode(hrefs).alias("href"))
+        .filter(~F.col("href").rlike(r"^(mailto|javascript):") & (F.col("href") != ""))
+        .filter(~F.col("href").startswith("#"))
+        .select("src", resolve_href(F.col("src"), F.col("href")).alias("dst"))
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    return edges.distinct()
+
+
+def link_degrees(edges: DataFrame) -> DataFrame:
+    """Per-node in/out degree over the union of endpoints; dangling =
+    a node that is linked to but has no outlinks (the PageRank
+    mass-leak set)."""
+    out = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("out_degree")
+    )
+    inn = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("in_degree")
+    )
+    return (
+        out.join(inn, "node", "full_outer")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+        .withColumn("is_dangling", F.col("out_degree") == 0)
+    )
+
+
+# ------------------------------------------------------------------ corpus
+def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
+    """North-rule-shaped pages whose body carries a deterministic anchor
+    law over ``doc_id`` (mirrored in :func:`linked_pages_law_sql`):
+
+    - ``1 + doc_id % 3`` internal links, target ``(doc_id*7 + 11*j) % n``
+      for ``j = 1..``; even ``j`` absolute, odd ``j`` root-relative;
+    - one protocol-relative external link when ``doc_id % 5 == 0``;
+    - one mailto: (always) and one fragment-only link (always) that the
+      extractor must drop.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.select(F.count("*").alias("n"))
+    d = F.col("doc_id")
+    targets = F.transform(
+        F.sequence(F.lit(1), (d % 3 + 1).cast("int")),
+        lambda j: (d * 7 + 11 * j) % F.col("n"),
+    )
+    anchors = F.concat_ws(
+        "\n",
+        F.transform(
+            targets,
+            lambda t, j: F.concat(
+                F.lit('<a href="'),
+                F.when(
+                    j % 2 == 0,
+                    F.concat(
+                        F.lit("https://synth.test/doc/"),
+                        t.cast("string"),
+                        F.lit(".html"),
+                    ),
+                ).otherwise(
+                    F.concat(F.lit("/doc/"), t.cast("string"), F.lit(".html"))
+                ),
+                F.lit('">link</a>'),
+            ),
+        ),
+    )
+    ext = F.when(
+        d % 5 == 0,
+        F.concat(
+            F.lit('\n<a class="x" href="//other.example/page'),
+            d.cast("string"),
+            F.lit('">ext</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html_str = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        d.cast("string"),
+        F.lit("</h1>\n"),
+        anchors,
+        ext,
+        F.lit('\n<a href="mailto:a@b.test">mail</a>'),
+        F.lit('\n<a href="#top">top</a>'),
+        F.lit("</body></html>"),
+    )
+    return docs.crossJoin(F.broadcast(n)).select(
+        F.concat(
+            F.lit("https://synth.test/doc/"), d.cast("string"), F.lit(".html")
+        ).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=d.cast("double"))
+        ).alias("warc_ts"),
+        F.encode(html_str, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def web_edges(spark, sf_dir: str) -> DataFrame:
+    return extract_links(synth_linked_pages(spark, sf_dir))
+
+
+# The oracle derives the edge set INDEPENDENTLY from the law (straight
+# from doc_id arithmetic, never touching HTML) — a stronger check than
+# re-running the same regex in DuckDB.
+LINKED_EDGES_CTE_SQL = """
+    nn AS (SELECT count(*) AS n FROM documents),
+    internal AS (
+        SELECT
+            'https://synth.test/doc/' || CAST(doc_id AS VARCHAR) || '.html' AS src,
+            'https://synth.test/doc/'
+                || CAST((doc_id * 7 + 11 * j) % n AS VARCHAR)
+                || '.html' AS dst
+        FROM documents, nn, UNNEST(range(1, doc_id % 3 + 2)) AS t(j)
+    ),
+    external AS (
+        SELECT
+            'https://synth.test/doc/' || CAST(doc_id AS VARCHAR) || '.html' AS src,
+            'https://other.example/page' || CAST(doc_id AS VARCHAR) AS dst
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    edges AS (
+        SELECT DISTINCT src, dst
+        FROM (SELECT * FROM internal UNION ALL SELECT * FROM external)
+        WHERE src <> dst
+    )
+"""
+
+
+def link_degrees_oracle_sql(edges_cte: str = LINKED_EDGES_CTE_SQL) -> str:
+    return f"""
+    WITH {edges_cte},
+    outd AS (SELECT src AS node, count(*) AS out_degree FROM edges GROUP BY src),
+    ind  AS (SELECT dst AS node, count(*) AS in_degree  FROM edges GROUP BY dst)
+    SELECT
+        COALESCE(outd.node, ind.node) AS node,
+        CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree,
+        CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+        COALESCE(out_degree, 0) = 0 AS is_dangling
+    FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+    """

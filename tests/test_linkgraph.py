@@ -1,0 +1,113 @@
+"""Hyperlink extraction + link graph (ops/linkgraph): resolution rules,
+drop rules, degree law, PageRank composition over EXTRACTED edges, and
+the zero-Python plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from docling_spark.ops.linkgraph import (
+    extract_links,
+    link_degrees,
+    synth_linked_pages,
+    web_edges,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _page(spark, url: str, body: str):
+    return spark.createDataFrame(
+        [(url, body.encode())], "url string, html binary"
+    )
+
+
+def test_resolution_rules(spark):
+    body = """
+    <a href="https://abs.example/p">abs</a>
+    <a href="/rel/path">root-rel</a>
+    <a href="//proto.example/q">proto-rel</a>
+    <a href="mailto:x@y.test">mail</a>
+    <a href="javascript:void(0)">js</a>
+    <a href="#frag">frag</a>
+    <a href="">empty</a>
+    """
+    edges = extract_links(_page(spark, "https://src.test:8080/dir/page", body))
+    got = sorted(r["dst"] for r in edges.collect())
+    assert got == [
+        "https://abs.example/p",
+        "https://proto.example/q",
+        "https://src.test:8080/rel/path",
+    ]
+
+
+def test_self_links_and_dups_dropped(spark):
+    body = (
+        '<a href="https://s.test/a">1</a>'
+        '<a href="https://s.test/a">2</a>'
+        '<a href="/self">3</a>'
+    )
+    edges = extract_links(_page(spark, "https://s.test/self", body))
+    got = sorted(r["dst"] for r in edges.collect())
+    assert got == ["https://s.test/a"]
+
+
+def test_degree_law_matches_arithmetic(spark):
+    """Out-degree of doc i over the synthetic law = distinct non-self
+    targets + external at i%5==0 (derived independently in Python)."""
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    edges = web_edges(spark, SF)
+    deg = {
+        r["node"]: (r["out_degree"], r["in_degree"], r["is_dangling"])
+        for r in link_degrees(edges).collect()
+    }
+    for i in (0, 1, 7, n - 1):
+        url = f"https://synth.test/doc/{i}.html"
+        targets = {(i * 7 + 11 * j) % n for j in range(1, i % 3 + 2)} - {i}
+        want = len(targets) + (1 if i % 5 == 0 else 0)
+        assert deg[url][0] == want, (i, deg[url])
+    # external pages are dangling: linked to, no outlinks
+    ext = f"https://other.example/page{5 if n > 5 else 0}"
+    assert deg[ext][0] == 0 and deg[ext][2] is True
+
+
+def test_pagerank_over_extracted_edges(spark):
+    """ops/graph.pagerank composes directly on extracted URL edges
+    (string node ids): ranks sum to ~n and converge deterministically."""
+    from docling_spark.ops import graph
+
+    edges = web_edges(spark, SF)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    pr = graph.pagerank(nodes, edges, iters=5)
+    total = pr.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    # dangling mass is redistributed, so total rank mass is conserved
+    # at 1.0 (up to the 6-decimal per-node rounding)
+    assert abs(total - 1.0) < 1e-3
+    a = sorted((r[0], round(r[1], 10)) for r in pr.collect())
+    b = sorted((r[0], round(r[1], 10)) for r in pr.collect())
+    assert a == b
+
+
+def test_plan_zero_python_extract(spark):
+    plan = (
+        web_edges(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan
