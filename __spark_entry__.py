@@ -1050,6 +1050,43 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lmq.lm_score(corpus, lm, head=3.5, tail=6.0)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained quality classifier (ops/qclassifier.py, the GPT-3 /
+    FineWeb-Edu gate): full-batch logistic regression on hashed
+    bag-of-words, trained ON THE CLUSTER over originals (label 1) vs
+    junk-degraded copies (label 0, the lm_quality corpus law), then
+    scoring every doc. The whole GD trajectory is engine-exact (dyadic
+    per-term quantization + half-away rounding), so the TRAINED MODEL's
+    outputs — margin, p, pred_keep — are value-checked cross-engine; the
+    oracle unrolls the same rounds as CTEs (the pagerank pattern)."""
+    from docling_spark.ops.qclassifier import quality_classifier_scores
+
+    docs = _docs(spark, sf_dir)
+    junk = F.repeat(
+        F.lit(" zq9x vv3k zzp1"), ((F.length("text") + 29) / 30).cast("int")
+    )
+    noisy = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", junk).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(noisy)
+    return quality_classifier_scores(corpus, F.col("doc_id") < 200000)
+
+
+def _qclassifier_oracle() -> str:
+    from docling_spark.ops.qclassifier import qclassifier_oracle_sql
+
+    corpus = """wt AS (
+              SELECT doc_id, text AS wtext FROM documents
+              UNION ALL
+              SELECT doc_id + 200000 AS doc_id,
+                     text || repeat(' zq9x vv3k zzp1',
+                                    CAST((length(text) + 29) // 30 AS INTEGER))
+                     AS wtext
+              FROM documents WHERE doc_id % 3 = 0)"""
+    return qclassifier_oracle_sql(corpus, "doc_id < 200000")
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-mix construction (ops/sampling.py):
     per-lang stratified hash sampling from a broadcast rate dim with
@@ -1520,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
+        "quality_classifier": q_quality_classifier,
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
         "curate_web": q_curate_web,
@@ -2800,6 +2838,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
+        "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),

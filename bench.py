@@ -36,7 +36,10 @@ HEADLINE = [
     "gopher_quality",
     "c4_span_removal",
     "url_filter",
+    "canonical_dedup",
+    "link_graph",
     "lm_quality",
+    "quality_classifier",
     "corpus_mix",
     "curate_web",
     "pipeline_e2e",
