@@ -17,6 +17,7 @@ from __future__ import annotations
 
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .job import extract_pages
 from .schema import PAGES_SCHEMA
@@ -76,17 +77,31 @@ def windowed_status_counts(
 
 
 def stateful_dedup_stream(
-    pages_stream: DataFrame, state_ttl_ms: int = 7 * 24 * 3600 * 1000
+    pages_stream: DataFrame,
+    state_ttl_ms: int | None = 7 * 24 * 3600 * 1000,
+    key=None,
+    key_name: str = "doc_hash",
 ) -> DataFrame:
-    """Cross-micro-batch exact dedup: emit each doc_hash's FIRST-SEEN row
+    """Cross-micro-batch exact dedup: emit each key's FIRST-SEEN row
     only, suppressing every later duplicate for as long as the state lives.
 
     Custom stateful operator via ``applyInPandasWithState`` keyed by
-    doc_hash — the streaming analog of the batch exact-dedup groupBy. State
-    per key is one boolean with a processing-time TTL (``state_ttl_ms``,
-    default 7 days ~ a recrawl horizon) so state doesn't grow unboundedly
-    on a continuous crawl feed; after the TTL the hash is treated as new
-    again, which is the standard trade for bounded state."""
+    ``key`` (default: sha2 of the html bytes — content identity; pass
+    e.g. ops/urlnorm.canonicalize_url(F.col("url")) for canonical-URL
+    identity, see :func:`canonical_dedup_stream`). State per key is one
+    boolean with a processing-time TTL (``state_ttl_ms``, default
+    7 days ~ a recrawl horizon) so state doesn't grow unboundedly on a
+    continuous crawl feed; after the TTL the key is treated as new
+    again, which is the standard trade for bounded state.
+
+    availableNow caveat: a pending processing-time timeout makes the
+    stateful operator request no-data micro-batches indefinitely, so an
+    availableNow BACKFILL never terminates under the default
+    ``noDataMicroBatches`` setting. For bounded backfills either pass
+    ``state_ttl_ms=None`` (NoTimeout — state lives for the run, which a
+    bounded run is fine with) or set
+    ``spark.sql.streaming.noDataMicroBatches.enabled=false`` on the
+    session; the TTL belongs to continuous triggers."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -99,7 +114,7 @@ def stateful_dedup_stream(
 
     out_schema = StructType(
         [
-            StructField("doc_hash", StringType()),
+            StructField(key_name, StringType()),
             StructField("url", StringType()),
             StructField("warc_ts", TimestampType()),
         ]
@@ -128,30 +143,59 @@ def stateful_dedup_stream(
                 ):
                     first_url, first_ts = u, ts
             state.update(("y",))
-            state.setTimeoutDuration(state_ttl_ms)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
             if first_url is not None:
                 yield pd.DataFrame(
                     {
-                        "doc_hash": [key[0]],
+                        key_name: [key[0]],
                         "url": [first_url],
                         "warc_ts": [first_ts],
                     }
                 )
         else:
             # already seen: refresh the TTL and suppress duplicates
-            state.setTimeoutDuration(state_ttl_ms)
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
 
-    hashed = pages_stream.withColumn("doc_hash", F.sha2(F.col("html"), 256))
+    key_col = F.sha2(F.col("html"), 256) if key is None else key
+    hashed = pages_stream.withColumn(key_name, key_col)
     return (
-        hashed.select("doc_hash", "url", "warc_ts")
-        .groupBy("doc_hash")
+        hashed.select(key_name, "url", "warc_ts")
+        .groupBy(key_name)
         .applyInPandasWithState(
             dedup,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if state_ttl_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
+    )
+
+
+def canonical_dedup_stream(
+    pages_stream: DataFrame, state_ttl_ms: int | None = 7 * 24 * 3600 * 1000
+) -> DataFrame:
+    """First-seen-per-CANONICAL-URL over a crawl stream: the streaming
+    twin of ops/urlnorm.canonical_dedup's key (the batch op keeps the
+    LATEST snapshot retrospectively; a stream emits the FIRST arrival
+    and suppresses the rest — the standard batch/stream duality, and
+    the kept row is still a deterministic law: min (warc_ts, url) within
+    the arriving batch, then earliest batch wins). Tracking-param /
+    fragment / case variants of one page all collapse into one state
+    key, so a continuous crawl feed stores one boolean per PAGE, not
+    per raw URL variant."""
+    from .ops.urlnorm import canonicalize_url
+
+    return stateful_dedup_stream(
+        pages_stream,
+        state_ttl_ms=state_ttl_ms,
+        key=canonicalize_url(F.col("url")),
+        key_name="canonical_url",
     )
 
 

@@ -123,7 +123,22 @@ def test_windowed_status_counts_with_watermark(spark, tmp_path):
     assert by_win[("2024-01-01T00:01:00", "success")] == 40
 
 
-def test_stateful_dedup_across_batches(spark, tmp_path):
+@pytest.fixture()
+def bounded_backfill(spark):
+    """availableNow + a pending processing-time TTL requests no-data
+    micro-batches forever (the stateful operator's shouldRunAnotherBatch
+    is unconditionally true for ProcessingTimeTimeout), so a backfill
+    drain would never terminate. Disable no-data batches for the
+    duration of the test — the production caveat is documented on
+    stateful_dedup_stream."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path, bounded_backfill):
     from docling_spark.streaming import stateful_dedup_stream
     from docling_spark.schema import PAGES_SCHEMA
     import datetime
@@ -268,3 +283,78 @@ def test_bloom_probe_stream_batch_parity_across_restart(spark, tmp_path):
     assert got == want
     assert got[1000] is True and got[2000] is False and got[4000] is False
     filt.unpersist()
+
+
+def test_canonical_dedup_stream_across_batches(spark, tmp_path, bounded_backfill):
+    """First-seen-per-canonical-URL under availableNow micro-batches:
+    tracking-param/fragment/case variants collapse into one state key;
+    the earliest batch's min (warc_ts, url) row is the one emitted, and
+    later batches (after a restart from checkpoint) emit nothing for a
+    key already seen. Key parity with the batch op: the emitted key set
+    equals batch canonicalize_url distinct."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from docling_spark.schema import PAGES_SCHEMA
+    from docling_spark.streaming import canonical_dedup_stream
+    from docling_spark.ops.urlnorm import canonicalize_url
+
+    inp = str(tmp_path / "cd_in")
+    out = str(tmp_path / "cd_out")
+    ckpt = str(tmp_path / "cd_ckpt")
+    ts = datetime.datetime(2024, 1, 1)
+    ts2 = datetime.datetime(2024, 1, 2)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    def drain():
+        q = (
+            canonical_dedup_stream(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(inp)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # batch 1: three raw variants of ONE page + one distinct page
+    b1 = [
+        ("https://t.example/x?utm_source=a", ts2, b"<p>1</p>", None, "en"),
+        ("https://T.EXAMPLE/x#frag", ts, b"<p>2</p>", None, "en"),
+        ("https://t.example:443/x", ts, b"<p>3</p>", None, "en"),
+        ("https://t.example/y", ts, b"<p>4</p>", None, "en"),
+    ]
+    write_batch(b1)
+    drain()
+    got1 = {r["canonical_url"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got1) == {"https://t.example/x", "https://t.example/y"}
+    # min (warc_ts, url) within the batch: both ts rows tie on warc_ts,
+    # bytewise-smallest url wins
+    assert got1["https://t.example/x"]["url"] == "https://T.EXAMPLE/x#frag"
+
+    # batch 2 (fresh drain = restart from checkpoint): another variant of
+    # x is suppressed; a new page emits
+    write_batch(
+        [
+            ("https://t.example/x?fbclid=z", ts, b"<p>5</p>", None, "en"),
+            ("https://t.example/z", ts, b"<p>6</p>", None, "en"),
+        ]
+    )
+    drain()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3  # no re-emission for x
+    keys = {r["canonical_url"] for r in rows}
+
+    # key parity with the batch canonicalizer over everything written
+    all_urls = spark.read.parquet(inp).select(
+        canonicalize_url(F.col("url")).alias("c")
+    )
+    assert keys == {r["c"] for r in all_urls.distinct().collect()}
