@@ -1576,18 +1576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "semdedup": q_semdedup,
         "ivf_search": q_ivf_search,
-        "embedding_dups_lsh": q_embedding_dups_lsh,
+        # -- multimodal (ALL real codecs gate this one row) -------------
+        "mm_codecs": q_mm_codecs,
         # -- relational checklist ---------------------------------------
         "metrics_rollup": q_metrics_rollup,
         "resume_antijoin": q_resume_antijoin,
         "broadcast_enrich": q_broadcast_enrich,
         "tpch_q1": q_tpch_q1,
         "salted_agg": q_salted_agg,  # plan-pinned skew pattern
-        # -- multimodal (ALL real codecs gate this one row) -------------
-        "mm_codecs": q_mm_codecs,
-        # -- relational checklist (window dedup) ------------------------
-        "dedup_latest": q_dedup_latest,
         # -- tail: value-redundant with / weaker than an earlier entry --
+        "embedding_dups_lsh": q_embedding_dups_lsh,  # bucketed embedding near-dup; semdedup records the richer law
+        "dedup_latest": q_dedup_latest,  # keep-latest window; canonical_dedup records the same shape on a richer key
         "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)

@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_exact",
     "lsh_dup_pairs",
     "dedup_clusters",
+    "substr_dedup",
+    "semdedup",
     "gopher_quality",
     "c4_span_removal",
     "url_filter",
@@ -40,6 +42,8 @@ HEADLINE = [
     "link_graph",
     "lm_quality",
     "quality_classifier",
+    "dsir_weights",
+    "text_normalize",
     "corpus_mix",
     "curate_web",
     "pipeline_e2e",

