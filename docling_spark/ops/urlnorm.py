@@ -88,7 +88,13 @@ def canonicalize_url(url: Column) -> Column:
         F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
     ).otherwise(F.lit(""))
 
-    return F.concat(scheme, F.lit("://"), host, port, path, qpart)
+    # malformed input (no scheme://host) would otherwise canonicalize to
+    # the SAME degenerate key ("://" + path) for every such row — a dedup
+    # over that key would silently merge unrelated pages. Fall back to
+    # the raw url: malformed rows stay themselves.
+    return F.when(
+        (scheme == "") | (host == ""), url
+    ).otherwise(F.concat(scheme, F.lit("://"), host, port, path, qpart))
 
 
 def canonical_dedup(pages: DataFrame) -> DataFrame:
@@ -282,10 +288,11 @@ def canonical_dedup_oracle_sql(corpus_cte: str = MESSY_URLS_CTE_SQL) -> str:
     canon AS (
         SELECT
             url, warc_ts,
-            scheme || '://' || host || port || path ||
-            CASE WHEN len(kept) > 0
-                 THEN '?' || array_to_string(kept, '&') ELSE '' END
-            AS canonical_url
+            CASE WHEN scheme = '' OR host = '' THEN url
+                 ELSE scheme || '://' || host || port || path ||
+                      CASE WHEN len(kept) > 0
+                           THEN '?' || array_to_string(kept, '&') ELSE '' END
+            END AS canonical_url
         FROM comp3
     ),
     ranked AS (

@@ -110,3 +110,26 @@ def test_plan_single_exchange_no_python(spark):  # noqa: F811
     assert plan.count("Exchange") == 1
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "SortMergeJoin"):
         assert bad not in plan
+
+
+def test_malformed_urls_stay_themselves(spark):
+    """No scheme/host -> canonical = the raw url: malformed rows must
+    NOT collapse into one degenerate '://'-key group (a dedup over that
+    key would silently merge unrelated pages)."""
+    raws = [
+        "not a url at all",
+        "/rooted/path/only",
+        "ftp:broken",
+        "",
+        "://x",
+    ]
+    got = _canon(spark, raws)
+    assert got == raws
+    # and therefore they never dedup against each other
+    import datetime
+
+    ts = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(u, ts) for u in raws if u], "url string, warc_ts timestamp"
+    )
+    assert canonical_dedup(df).count() == len([u for u in raws if u])
