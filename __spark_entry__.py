@@ -1402,6 +1402,28 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dedup (ops/imagededup.py): REAL PNG
+    decode (ops/png.py) → 64-bit dHash in one mapInPandas → banded-LSH
+    Hamming pairs in pure JVM (explode 4 bands → equi-join →
+    bit_count(xor) verify — the MinHash shuffle shape on the image
+    modality). Brightness twins hash identically (the dHash invariance),
+    local-edit twins land at small law-predictable distances. The
+    oracle recomputes every hash from the pixel law by doc_id
+    arithmetic — it never touches PNG bytes — so decode, downsample,
+    hashing, banding AND verification are value-checked against an
+    independent derivation."""
+    from docling_spark.ops.imagededup import phash_pairs
+
+    return phash_pairs(spark, sf_dir)
+
+
+def _phash_oracle() -> str:
+    from docling_spark.ops.imagededup import phash_oracle_sql
+
+    return phash_oracle_sql()
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ops/semdedup.py, Abbas et al. 2303.09540): cluster the
     embeddings (broadcast seeded codebook), compare pairs ONLY inside a
@@ -1571,7 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
         "token_count": q_token_count,
-        "quality_score": q_quality_score,
+        "phash_dedup": q_phash_dedup,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "semdedup": q_semdedup,
@@ -1587,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: value-redundant with / weaker than an earlier entry --
         "embedding_dups_lsh": q_embedding_dups_lsh,  # bucketed embedding near-dup; semdedup records the richer law
         "dedup_latest": q_dedup_latest,  # keep-latest window; canonical_dedup records the same shape on a richer key
+        "quality_score": q_quality_score,  # length/punct ratios; gopher_quality records the 21-signal battery
         "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
@@ -3152,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1
         """,
         "semdedup": _semdedup_oracle(),
+        "phash_dedup": _phash_oracle(),
         "ivf_search": """
             WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
             c AS (SELECT vec_id AS centroid_id, embedding AS centroid

@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_clusters",
     "substr_dedup",
     "semdedup",
+    "phash_dedup",
     "gopher_quality",
     "c4_span_removal",
     "url_filter",
