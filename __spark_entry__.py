@@ -1424,6 +1424,25 @@ def _phash_oracle() -> str:
     return phash_oracle_sql()
 
 
+def q_audio_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprint near-dedup (ops/audiofp.py): real RIFF/WAVE
+    chunk walk + PCM16 decode → 64-bit frame-energy-gradient hash (the
+    chromaprint shape; volume-invariant, so a 2x-gain re-master hashes
+    identically) → the SAME banded-LSH Hamming pair stage the image op
+    uses. The oracle recomputes every fingerprint from the sample law by
+    doc_id arithmetic — container parse, PCM decode, framing, energies,
+    hashing, banding and verify all value-checked independently."""
+    from docling_spark.ops.audiofp import audio_dup_pairs
+
+    return audio_dup_pairs(spark, sf_dir)
+
+
+def _audiofp_oracle() -> str:
+    from docling_spark.ops.audiofp import audiofp_oracle_sql
+
+    return audiofp_oracle_sql()
+
+
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (ops/semdedup.py, Abbas et al. 2303.09540): cluster the
     embeddings (broadcast seeded codebook), compare pairs ONLY inside a
@@ -1592,8 +1611,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
         "simhash_pairs": q_simhash_pairs,
-        "token_count": q_token_count,
         "phash_dedup": q_phash_dedup,
+        "audio_dups": q_audio_dups,
         "lang_id": q_lang_id,
         "cosine_topk": q_cosine_topk,
         "semdedup": q_semdedup,
@@ -1610,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dups_lsh": q_embedding_dups_lsh,  # bucketed embedding near-dup; semdedup records the richer law
         "dedup_latest": q_dedup_latest,  # keep-latest window; canonical_dedup records the same shape on a richer key
         "quality_score": q_quality_score,  # length/punct ratios; gopher_quality records the 21-signal battery
+        "token_count": q_token_count,  # whitespace/regex counts; chunk_pack_bpe_full records the richer tokenizer law
         "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
@@ -3176,6 +3196,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semdedup": _semdedup_oracle(),
         "phash_dedup": _phash_oracle(),
+        "audio_dups": _audiofp_oracle(),
         "ivf_search": """
             WITH e AS (SELECT * FROM embeddings WHERE vec_id < 300),
             c AS (SELECT vec_id AS centroid_id, embedding AS centroid

@@ -36,6 +36,7 @@ HEADLINE = [
     "substr_dedup",
     "semdedup",
     "phash_dedup",
+    "audio_dups",
     "gopher_quality",
     "c4_span_removal",
     "url_filter",
