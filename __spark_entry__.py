@@ -1029,6 +1029,175 @@ def _link_graph_oracle() -> str:
     return link_degrees_oracle_sql()
 
 
+def q_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-snapshot CDC (ops/snapshot.py): classify every url across
+    two snapshots as added/removed/changed/unchanged by content hash.
+    One full-outer join on url over slim (url, sha256, ts) projections —
+    the blobs never enter the exchange. The incremental-processing
+    primitive: downstream stages reprocess O(delta), never O(corpus)."""
+    from docling_spark.ops.snapshot import snapshot_delta, synth_snapshots
+
+    old, new = synth_snapshots(spark, sf_dir)
+    return snapshot_delta(old, new)
+
+
+def q_snapshot_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta WORK LIST (ops/snapshot.py): full-width new-snapshot
+    rows that are added or changed — the only pages the extraction job
+    must touch on an incremental crawl. The oracle value-checks the
+    carried blob content (body_tag re-extracted from the html bytes),
+    proving the right page VERSIONS moved through the join."""
+    from docling_spark.ops.snapshot import delta_worklist, synth_snapshots
+
+    old, new = synth_snapshots(spark, sf_dir)
+    wl = delta_worklist(old, new)
+    return wl.select(
+        "url",
+        "status",
+        F.regexp_extract(
+            F.decode(F.col("html"), "UTF-8"), r"(page-\d+-v\d)", 1
+        ).alias("body_tag"),
+    )
+
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-directive compliance gate (ops/robots.py): in-row JVM
+    regexps over the bounded 8 KB head extract noindex/nofollow/none
+    meta directives (both attribute orders, any case) and the
+    rel=canonical target; pages whose authors opted out are rejected
+    with a reason code. Zero shuffles, zero Python."""
+    from docling_spark.ops.robots import robots_gate, synth_robots_pages
+
+    return robots_gate(synth_robots_pages(spark, sf_dir)).select(
+        "url", "noindex", "nofollow", "canonical_url", "keep", "reason"
+    )
+
+
+def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (ops/linkgraph.py): extract (src, dst,
+    anchor-text) triples from raw HTML — href and text pulled by the
+    SAME regex so they zip positionally — then per-target reference
+    count + sorted-distinct anchor profile (the classic target-side
+    relevance signal). The oracle re-derives every anchor string from
+    the doc_id law, value-checking extraction, resolution, and the
+    collect_set aggregation end-to-end."""
+    from docling_spark.ops.linkgraph import (
+        anchor_stats,
+        extract_links_text,
+        synth_linked_pages,
+    )
+
+    return anchor_stats(extract_links_text(synth_linked_pages(spark, sf_dir)))
+
+
+def _snapshot_delta_oracle() -> str:
+    from docling_spark.ops.snapshot import snapshot_delta_oracle_sql
+
+    return snapshot_delta_oracle_sql()
+
+
+def _snapshot_worklist_oracle() -> str:
+    from docling_spark.ops.snapshot import delta_worklist_oracle_sql
+
+    return delta_worklist_oracle_sql()
+
+
+def _robots_gate_oracle() -> str:
+    from docling_spark.ops.robots import robots_gate_oracle_sql
+
+    return robots_gate_oracle_sql()
+
+
+def _anchor_stats_oracle() -> str:
+    from docling_spark.ops.linkgraph import anchor_stats_oracle_sql
+
+    return anchor_stats_oracle_sql()
+
+
+def q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level global dedup (ops/paradedup.py, the Dolma /
+    RefinedWeb boilerplate killer): every non-first global paragraph
+    occurrence removed, text rebuilt. In-row hashing, ONE hash exchange
+    for the first-occurrence window (AQE-skew-eligible — a cookie
+    banner on 10^8 pages is exactly the key AQE splits), doc_id agg +
+    join back, in-row rebuild. The pooled corpus law guarantees heavy
+    cross-document duplication; the oracle value-checks the rebuilt
+    text itself."""
+    from docling_spark.ops.paradedup import paragraph_dedup, synth_para_corpus
+
+    return paragraph_dedup(synth_para_corpus(spark, sf_dir))
+
+
+def _para_dedup_oracle() -> str:
+    from docling_spark.ops.paradedup import paragraph_dedup_oracle_sql
+
+    return paragraph_dedup_oracle_sql()
+
+
+def q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-style page-metadata pass (ops/pagemeta.py): title / meta
+    description / og:title / html-lang pulled by in-row JVM regexps
+    over the bounded 8 KB head — the snippeting + language-routing
+    fields a crawl index carries next to every url. Zero shuffles,
+    zero Python."""
+    from docling_spark.ops.pagemeta import page_meta, synth_meta_pages
+
+    return page_meta(synth_meta_pages(spark, sf_dir)).select(
+        "url", "title", "meta_description", "og_title", "html_lang"
+    )
+
+
+def _page_meta_oracle() -> str:
+    from docling_spark.ops.pagemeta import page_meta_oracle_sql
+
+    return page_meta_oracle_sql()
+
+
+def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL-crawl composition (ops/snapshot.py + job.py):
+    two-snapshot CDC -> added/changed work list -> the real mapInPandas
+    HTML extraction backend — the O(delta) reprocessing path a 10^12-row
+    crawl pipeline runs nightly. The oracle predicts the extracted text
+    of every work-list row from the snapshot law (the right page VERSION
+    must have moved through the join AND through extraction), plus the
+    delta status and extraction status."""
+    from docling_spark.job import extract_pages
+    from docling_spark.ops.snapshot import delta_worklist, synth_snapshots
+
+    old, new = synth_snapshots(spark, sf_dir)
+    wl = delta_worklist(old, new)
+    tags = wl.select("url", F.col("status").alias("delta_status"))
+    ex = extract_pages(wl.drop("status"))
+    return ex.join(tags, "url").select(
+        "url",
+        "delta_status",
+        F.col("status").alias("extract_status"),
+        "extracted_text",
+        "n_chars",
+    )
+
+
+def _pipeline_incremental_oracle() -> str:
+    from docling_spark.ops.snapshot import _DELTA_CTE, _URL
+
+    return f"""
+    WITH {_DELTA_CTE},
+    wl AS (
+        SELECT doc_id, status,
+               'page-' || CAST(doc_id AS VARCHAR) || '-v'
+                   || CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END AS body
+        FROM classified WHERE status IN ('added', 'changed')
+    )
+    SELECT
+        '{_URL}' || CAST(doc_id AS VARCHAR) AS url,
+        status AS delta_status,
+        'success' AS extract_status,
+        body AS extracted_text,
+        CAST(length(body) AS INTEGER) AS n_chars
+    FROM wl
+    """
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1661,6 +1830,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_assign": q_ivf_assign,  # assignment step of ivf_search
         "doc_hash": q_doc_hash,  # sha256 also in fingerprint + extract
         "events_hourly": q_events_hourly,  # plain agg, cf. metrics_rollup
+        "para_dedup": q_para_dedup,  # Dolma-style paragraph dedup
+        "snapshot_delta": q_snapshot_delta,  # crawl CDC classification
+        "snapshot_worklist": q_snapshot_worklist,  # incremental work list
+        "robots_gate": q_robots_gate,  # in-page robots opt-out gate
+        "page_meta": q_page_meta,  # WAT-style head metadata fields
+        "pipeline_incremental": q_pipeline_incremental,  # CDC -> extraction
+        "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
         "mm_resize": q_mm_resize,  # fake-codec twin of mm_png_resize
@@ -2880,6 +3056,13 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
+        "para_dedup": _para_dedup_oracle(),
+        "snapshot_delta": _snapshot_delta_oracle(),
+        "snapshot_worklist": _snapshot_worklist_oracle(),
+        "robots_gate": _robots_gate_oracle(),
+        "page_meta": _page_meta_oracle(),
+        "pipeline_incremental": _pipeline_incremental_oracle(),
+        "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),

@@ -49,6 +49,10 @@ HEADLINE = [
     "corpus_mix",
     "curate_web",
     "pipeline_e2e",
+    "pipeline_incremental",
+    "para_dedup",
+    "snapshot_delta",
+    "robots_gate",
     "decontam",
     "simhash",
     "token_count",

@@ -69,6 +69,60 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return edges.distinct()
 
 
+# a COMPLETE anchor element; groups: 1 = href, 2 = inner text. The href
+# and text arrays are extracted with the SAME regex (different group
+# index), so they always zip positionally — no count-mismatch risk.
+A_ELEM_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+
+
+def extract_links_text(pages: DataFrame) -> DataFrame:
+    """(url, html:binary) -> (src, dst, anchor) with the link's visible
+    anchor text, distinct triples, self-links dropped.
+
+    Scale shape identical to :func:`extract_links`: in-row JVM regexps +
+    a bounded explode, zero Python. The anchor text is the classic
+    target-side relevance signal (what OTHER pages call this url) —
+    aggregated per target by :func:`anchor_stats`.
+    """
+    body = F.decode(F.col("html"), "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(body, F.lit(A_ELEM_RE), F.lit(1)).alias("href"),
+        F.regexp_extract_all(body, F.lit(A_ELEM_RE), F.lit(2)).alias("anchor"),
+    )
+    return (
+        pages.select(F.col("url").alias("src"), F.explode(pairs).alias("p"))
+        .select("src", F.col("p.href").alias("href"), F.col("p.anchor").alias("anchor"))
+        .filter(~F.col("href").rlike(r"^(mailto|javascript):") & (F.col("href") != ""))
+        .filter(~F.col("href").startswith("#"))
+        .select(
+            "src",
+            resolve_href(F.col("src"), F.col("href")).alias("dst"),
+            "anchor",
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+    )
+
+
+def anchor_stats(edges_text: DataFrame) -> DataFrame:
+    """Per-target anchor-text profile: how many pages reference the url
+    and with what visible texts (sorted-distinct, '|'-joined so the
+    value is engine-portable and order-stable).
+
+    One map-side-combinable groupBy on ``dst`` — at 10^12 edges this is
+    a single slim-string exchange; collect_set is bounded by the
+    distinct-anchor vocabulary per target (tiny in practice; a
+    deployment worried about adversarial fan-in would cap it with
+    slice(sort_array(...), 1, k))."""
+    return edges_text.groupBy(F.col("dst").alias("url")).agg(
+        F.count("*").alias("n_refs"),
+        F.count_distinct(F.col("anchor")).alias("n_texts"),
+        F.concat_ws("|", F.sort_array(F.collect_set("anchor"))).alias(
+            "anchors"
+        ),
+    )
+
+
 def link_degrees(edges: DataFrame) -> DataFrame:
     """Per-node in/out degree over the union of endpoints; dangling =
     a node that is linked to but has no outlinks (the PageRank
@@ -124,7 +178,14 @@ def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
                 ).otherwise(
                     F.concat(F.lit("/doc/"), t.cast("string"), F.lit(".html"))
                 ),
-                F.lit('">link</a>'),
+                # anchor text law: 'd<target>.<doc_id%7>' — varies by
+                # source (mod 7) so a popular target accumulates several
+                # distinct anchor texts for anchor_stats
+                F.lit('">d'),
+                t.cast("string"),
+                F.lit("."),
+                (d % 7).cast("string"),
+                F.lit("</a>"),
             ),
         ),
     )
@@ -133,7 +194,9 @@ def synth_linked_pages(spark, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit('\n<a class="x" href="//other.example/page'),
             d.cast("string"),
-            F.lit('">ext</a>'),
+            F.lit('">x'),
+            d.cast("string"),
+            F.lit("</a>"),
         ),
     ).otherwise(F.lit(""))
     html_str = F.concat(
@@ -189,6 +252,47 @@ LINKED_EDGES_CTE_SQL = """
         WHERE src <> dst
     )
 """
+
+
+# law-derived (src, dst, anchor) triples — the anchor text the synthetic
+# page writes for each link, re-derived from doc_id arithmetic
+LINKED_ANCHORS_CTE_SQL = """
+    nn AS (SELECT count(*) AS n FROM documents),
+    a_internal AS (
+        SELECT
+            'https://synth.test/doc/' || CAST(doc_id AS VARCHAR) || '.html' AS src,
+            'https://synth.test/doc/'
+                || CAST((doc_id * 7 + 11 * j) % n AS VARCHAR)
+                || '.html' AS dst,
+            'd' || CAST((doc_id * 7 + 11 * j) % n AS VARCHAR)
+                || '.' || CAST(doc_id % 7 AS VARCHAR) AS anchor
+        FROM documents, nn, UNNEST(range(1, doc_id % 3 + 2)) AS t(j)
+    ),
+    a_external AS (
+        SELECT
+            'https://synth.test/doc/' || CAST(doc_id AS VARCHAR) || '.html' AS src,
+            'https://other.example/page' || CAST(doc_id AS VARCHAR) AS dst,
+            'x' || CAST(doc_id AS VARCHAR) AS anchor
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    anchor_edges AS (
+        SELECT DISTINCT src, dst, anchor
+        FROM (SELECT * FROM a_internal UNION ALL SELECT * FROM a_external)
+        WHERE src <> dst
+    )
+"""
+
+
+def anchor_stats_oracle_sql(edges_cte: str = LINKED_ANCHORS_CTE_SQL) -> str:
+    return f"""
+    WITH {edges_cte}
+    SELECT
+        dst AS url,
+        count(*) AS n_refs,
+        count(DISTINCT anchor) AS n_texts,
+        string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+    FROM anchor_edges GROUP BY dst
+    """
 
 
 def link_degrees_oracle_sql(edges_cte: str = LINKED_EDGES_CTE_SQL) -> str:

@@ -111,3 +111,66 @@ def test_plan_zero_python_extract(spark):
     )
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
+
+
+def test_anchor_text_pairing(spark):
+    """href/text arrays come from the SAME regex, so they zip exactly:
+    same href with two texts keeps both triples; identical (href, text)
+    pairs collapse."""
+    from docling_spark.ops.linkgraph import extract_links_text
+
+    body = (
+        '<a href="https://s.test/a">first</a>'
+        '<a class="z" href="https://s.test/a">second</a>'
+        '<a href="https://s.test/a">first</a>'
+        '<a href="mailto:x@y.z">mail</a>'
+        '<a href="/rel">rooted</a>'
+    )
+    got = sorted(
+        (r["dst"], r["anchor"])
+        for r in extract_links_text(
+            _page(spark, "https://s.test/p", body)
+        ).collect()
+    )
+    assert got == [
+        ("https://s.test/a", "first"),
+        ("https://s.test/a", "second"),
+        ("https://s.test/rel", "rooted"),
+    ]
+
+
+def test_anchor_stats_profile(spark):
+    """Per-target aggregation over the synthetic law: n_refs counts
+    referencing triples, anchors is the sorted-distinct '|'-join."""
+    from docling_spark.ops.linkgraph import (
+        anchor_stats,
+        extract_links_text,
+        synth_linked_pages,
+    )
+
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    stats = {
+        r["url"]: (r["n_refs"], r["n_texts"], r["anchors"])
+        for r in anchor_stats(
+            extract_links_text(synth_linked_pages(spark, SF))
+        ).collect()
+    }
+    # independent derivation from the law in plain python
+    from collections import defaultdict
+
+    triples = defaultdict(set)
+    for i in range(n):
+        for j in range(1, i % 3 + 2):
+            t = (i * 7 + 11 * j) % n
+            if t != i:
+                triples[f"https://synth.test/doc/{t}.html"].add(
+                    (f"https://synth.test/doc/{i}.html", f"d{t}.{i % 7}")
+                )
+        if i % 5 == 0:
+            triples[f"https://other.example/page{i}"].add(
+                (f"https://synth.test/doc/{i}.html", f"x{i}")
+            )
+    for url, trips in triples.items():
+        texts = sorted({a for _, a in trips})
+        assert stats[url] == (len(trips), len(texts), "|".join(texts)), url
+    assert set(stats) == set(triples)
