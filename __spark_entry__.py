@@ -1198,6 +1198,27 @@ def _pipeline_incremental_oracle() -> str:
     """
 
 
+_BM25_TERMS = ["spark", "window", "merge", "vector"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (ops/bm25.py), the lexical half of the
+    retrieval stack next to ops/ann.py: in-row tokenize + per-term tf,
+    ONE tiny stats aggregation broadcast back, TakeOrderedAndProject
+    top-k — the corpus is scanned twice and never shuffled. idf (the
+    single transcendental) is dyadically quantized so scores and the
+    top-k cut agree bit-for-bit across engines."""
+    from docling_spark.ops.bm25 import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS, k=100)
+
+
+def _bm25_oracle() -> str:
+    from docling_spark.ops.bm25 import bm25_oracle_sql
+
+    return bm25_oracle_sql(_BM25_TERMS, k=100)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1836,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_gate": q_robots_gate,  # in-page robots opt-out gate
         "page_meta": q_page_meta,  # WAT-style head metadata fields
         "pipeline_incremental": q_pipeline_incremental,  # CDC -> extraction
+        "bm25_search": q_bm25_search,  # lexical retrieval top-k
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3062,6 +3084,7 @@ def oracle_sql() -> dict[str, str]:
         "robots_gate": _robots_gate_oracle(),
         "page_meta": _page_meta_oracle(),
         "pipeline_incremental": _pipeline_incremental_oracle(),
+        "bm25_search": _bm25_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

@@ -52,6 +52,7 @@ HEADLINE = [
     "pipeline_incremental",
     "para_dedup",
     "snapshot_delta",
+    "bm25_search",
     "robots_gate",
     "decontam",
     "simhash",
