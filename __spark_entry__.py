@@ -1219,6 +1219,43 @@ def _bm25_oracle() -> str:
     return bm25_oracle_sql(_BM25_TERMS, k=100)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (ops/hybrid.py): reciprocal-rank fusion of the
+    BM25 lexical top-50 and the dense cosine top-50 — the standard RRF
+    law over the two retrieval families the engine ships. Fusion
+    operates on 2k bounded rows (rank windows + one full-outer join),
+    never the corpus; integer ranks + fixed-order IEEE sums make the
+    fused scores and the final cut bit-identical across engines."""
+    from docling_spark.ops import ann
+    from docling_spark.ops.bm25 import bm25_scores
+    from docling_spark.ops.hybrid import rrf_fuse
+
+    lex = bm25_scores(_docs(spark, sf_dir), _BM25_TERMS, k=50).select(
+        "doc_id", "score"
+    )
+    dense = ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=50)
+    return rrf_fuse(lex, dense, k=20)
+
+
+def _hybrid_oracle() -> str:
+    from docling_spark.ops.bm25 import bm25_oracle_sql
+    from docling_spark.ops.hybrid import rrf_oracle_sql
+
+    lex = f"""
+        SELECT doc_id, score FROM ({bm25_oracle_sql(_BM25_TERMS, k=50)})
+    """
+    dense = """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embedding, qv) /
+                     (sqrt(list_dot_product(embedding, embedding)) *
+                      sqrt(list_dot_product(qv, qv))), 4) AS cosine
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cosine DESC, vec_id LIMIT 50
+    """
+    return rrf_oracle_sql(lex, dense, k=20)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1858,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,  # WAT-style head metadata fields
         "pipeline_incremental": q_pipeline_incremental,  # CDC -> extraction
         "bm25_search": q_bm25_search,  # lexical retrieval top-k
+        "hybrid_search": q_hybrid_search,  # RRF fusion of lex + dense
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3085,6 +3123,7 @@ def oracle_sql() -> dict[str, str]:
         "page_meta": _page_meta_oracle(),
         "pipeline_incremental": _pipeline_incremental_oracle(),
         "bm25_search": _bm25_oracle(),
+        "hybrid_search": _hybrid_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

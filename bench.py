@@ -53,6 +53,7 @@ HEADLINE = [
     "para_dedup",
     "snapshot_delta",
     "bm25_search",
+    "hybrid_search",
     "robots_gate",
     "decontam",
     "simhash",
