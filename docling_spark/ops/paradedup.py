@@ -8,19 +8,20 @@ navigation blocks, cookie banners and licence footers vanish corpus-wide
 while the surrounding prose survives.
 
 Scale shape (same as the C4 span remover): paragraph splitting and
-hashing are in-row JVM expressions; the first-occurrence flag is ONE
-hash exchange on ``para_hash`` (AQE-skew-eligible — a cookie banner
-shared by 10^8 pages is exactly the skewed key AQE splits); the drop
-positions come back with a doc_id partial agg + join, and the rebuild
-is an in-row indexed lambda filter. Zero Python, nothing all-pairs,
-nothing driver-side.
+hashing are in-row JVM expressions; the first occurrence per hash is
+a min-struct aggregation (map-side combinable, so a cookie banner
+shared by 10^8 pages collapses to one row per map task) joined back on
+the hash — an AQE-skew-splittable equi-join, deliberately NOT a
+row_number window (a window partition on the hot hash cannot be
+split); the drop positions come back with a doc_id partial agg + join,
+and the rebuild is an in-row indexed lambda filter. Zero Python,
+nothing all-pairs, nothing driver-side.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 __all__ = [
     "paragraph_dedup",
@@ -47,10 +48,20 @@ def paragraph_dedup(df: DataFrame, col: str = "wtext") -> DataFrame:
     ex = base.select(
         "doc_id", F.posexplode("paras").alias("para_idx", "p")
     ).select("doc_id", "para_idx", _para_hash(F.col("p")).alias("h"))
-    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    # keep-first via min-struct agg + join, NOT a row_number window: the
+    # hot key here is real (a cookie banner on 10^8 pages hashes
+    # identically) and a window partition cannot be split, while the
+    # min-struct agg collapses duplicates map-side and the join back is
+    # AQE-skew-splittable. Same keep-first-(doc_id, para_idx) law.
+    firsts = ex.groupBy("h").agg(
+        F.min(F.struct("doc_id", "para_idx")).alias("first")
+    )
     drops = (
-        ex.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") > 1)
+        ex.join(firsts, "h")
+        .where(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("para_idx") != F.col("first.para_idx"))
+        )
         .groupBy("doc_id")
         .agg(F.collect_set("para_idx").alias("drops"))
     )
