@@ -1256,6 +1256,27 @@ def _hybrid_oracle() -> str:
     return rrf_oracle_sql(lex, dense, k=20)
 
 
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (ops/tfidf.py): top-3 characteristic
+    terms per document — explode + map-side tf/df partial aggs, a
+    term-keyed AQE-skew-eligible join with a max-df stop-word gate (the
+    hot keys are pruned before they join), doc-bounded top-k window.
+    idf dyadically quantized so scores and the cut match cross-engine."""
+    from docling_spark.ops.tfidf import tfidf_top_terms
+
+    # max_df 0.9: the synthetic corpus draws from a ~31-word vocabulary,
+    # so the production-sane 0.5 default would prune nearly every term;
+    # 0.9 keeps the stop-word gate observable (dfs span 5%-80% of docs)
+    # while every doc still gets its 3 keywords
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3, max_df_frac=0.9)
+
+
+def _tfidf_oracle() -> str:
+    from docling_spark.ops.tfidf import tfidf_oracle_sql
+
+    return tfidf_oracle_sql(k=3, max_df_frac=0.9)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1896,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_incremental": q_pipeline_incremental,  # CDC -> extraction
         "bm25_search": q_bm25_search,  # lexical retrieval top-k
         "hybrid_search": q_hybrid_search,  # RRF fusion of lex + dense
+        "tfidf_terms": q_tfidf_terms,  # per-doc keyword extraction
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3124,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_incremental": _pipeline_incremental_oracle(),
         "bm25_search": _bm25_oracle(),
         "hybrid_search": _hybrid_oracle(),
+        "tfidf_terms": _tfidf_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
