@@ -250,6 +250,48 @@ def bloom_probe_stream(
     )
 
 
+def cdc_worklist_stream(
+    spark: SparkSession,
+    input_path: str,
+    old_snapshot: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int = 1,
+    schema=None,
+):
+    """Streaming crawl CDC — continuous ingestion of a fresh crawl:
+    new-snapshot rows arrive as micro-batches and are classified against
+    the STATIC previous snapshot (``old_snapshot``), emitting only the
+    added/changed work-list rows (ops/snapshot.delta_worklist — the same
+    plan as the batch path: one plan, two drivers, the module's parity
+    rule). 'removed' detection inherently needs the full new snapshot
+    and stays a batch job (ops/snapshot.snapshot_delta).
+
+    Shape: foreachBatch + per-batch directory write, idempotent under
+    replay exactly like bloom_probe_stream — a restart that re-runs
+    batch N overwrites N's directory, so the union of batch outputs
+    equals the batch work list exactly-once across kill/restart. The
+    old snapshot enters each micro-batch as the slim (url, hash)
+    projection only."""
+    from .ops.snapshot import delta_worklist
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        wl = delta_worklist(old_snapshot, batch_df)
+        wl.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
+
+    reader = (
+        spark.readStream.schema(schema or PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return (
+        reader.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream(
     spark: SparkSession,
     input_path: str,

@@ -358,3 +358,62 @@ def test_canonical_dedup_stream_across_batches(spark, tmp_path, bounded_backfill
         canonicalize_url(F.col("url")).alias("c")
     )
     assert keys == {r["c"] for r in all_urls.distinct().collect()}
+
+
+def test_cdc_worklist_stream_batch_parity_across_restart(spark, tmp_path):
+    """Streaming crawl CDC: micro-batched new-snapshot rows classified
+    against the static old snapshot equal the batch delta_worklist over
+    the same rows, exactly-once across a stop + new-files + restart."""
+    from docling_spark.ops.snapshot import delta_worklist
+    from docling_spark.streaming import cdc_worklist_stream
+
+    schema = (
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+
+    def rows(specs):
+        return [(u, None, b, None, None) for u, b in specs]
+
+    old = spark.createDataFrame(
+        rows([(f"u{i}", f"v1-{i}".encode()) for i in range(20)]), schema
+    )
+
+    inp = str(tmp_path / "cdc_in")
+    out = str(tmp_path / "cdc_out")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    # wave 1: 5 unchanged, 5 changed, 5 added
+    wave1 = rows(
+        [(f"u{i}", f"v1-{i}".encode()) for i in range(5)]
+        + [(f"u{i}", f"v2-{i}".encode()) for i in range(5, 10)]
+        + [(f"n{i}", f"new-{i}".encode()) for i in range(5)]
+    )
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q = cdc_worklist_stream(spark, inp, old, out, ckpt, schema=schema)
+    q.awaitTermination(300)
+
+    # wave 2 lands after the drain; restart on the same checkpoint
+    wave2 = rows([("u15", b"v1-15"), ("u16", b"v3-16"), ("n9", b"brand")])
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = cdc_worklist_stream(spark, inp, old, out, ckpt, schema=schema)
+    q2.awaitTermination(300)
+
+    got = {
+        r["url"]: (r["status"], bytes(r["html"]))
+        for r in spark.read.parquet(out).collect()
+    }
+    all_new = spark.createDataFrame(wave1 + wave2, schema)
+    want = {
+        r["url"]: (r["status"], bytes(r["html"]))
+        for r in delta_worklist(old, all_new).collect()
+    }
+    assert got == want
+    # unchanged rows never reach the work list; the right versions do
+    assert "u0" not in got and "u15" not in got
+    assert got["u5"] == ("changed", b"v2-5")
+    assert got["n9"] == ("added", b"brand")
