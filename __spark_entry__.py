@@ -1277,6 +1277,24 @@ def _tfidf_oracle() -> str:
     return tfidf_oracle_sql(k=3, max_df_frac=0.9)
 
 
+def q_entropy_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon-entropy gibberish gate (ops/entropy.py): char- and
+    word-unigram entropy + distinct counts, pure in-row JVM (sorted-
+    distinct symbol arrays, dyadically quantized -p*ln(p) terms so the
+    float sums match DuckDB bit-for-bit). The compression-proxy signal
+    that catches unstructured mash the Gopher repetition ladders
+    miss."""
+    from docling_spark.ops.entropy import entropy_signals
+
+    return entropy_signals(_docs(spark, sf_dir))
+
+
+def _entropy_oracle() -> str:
+    from docling_spark.ops.entropy import entropy_oracle_sql
+
+    return entropy_oracle_sql()
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1918,6 +1936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,  # lexical retrieval top-k
         "hybrid_search": q_hybrid_search,  # RRF fusion of lex + dense
         "tfidf_terms": q_tfidf_terms,  # per-doc keyword extraction
+        "entropy_signals": q_entropy_signals,  # char/word entropy gate
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3147,6 +3166,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _bm25_oracle(),
         "hybrid_search": _hybrid_oracle(),
         "tfidf_terms": _tfidf_oracle(),
+        "entropy_signals": _entropy_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

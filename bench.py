@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_classifier",
     "dsir_weights",
     "text_normalize",
+    "entropy_signals",
     "corpus_mix",
     "curate_web",
     "pipeline_e2e",
