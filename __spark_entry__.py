@@ -1295,6 +1295,26 @@ def _entropy_oracle() -> str:
     return entropy_oracle_sql()
 
 
+def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup (ops/dedup.lsh_incremental_dups): a new crawl
+    batch probed against the PERSISTED history LSH index — history is
+    touched only through (band_id, band_key) equi-joins, never rescanned
+    and never all-pairs; within-batch collisions resolve earlier-id-wins.
+    The near-dup companion to the Bloom exact incremental probe."""
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    history = docs.filter(d < 100)
+    new = (
+        docs.filter(d < 30)
+        .withColumn("doc_id", d + 100000)
+        .unionByName(docs.filter((d >= 100) & (d < 150)))
+    )
+    hist_bands = dedup.lsh_bands(history, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    return dedup.lsh_incremental_dups(
+        new, hist_bands, k=8, seeds=[1, 2, 3, 4], band_size=2
+    )
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -1937,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search": q_hybrid_search,  # RRF fusion of lex + dense
         "tfidf_terms": q_tfidf_terms,  # per-doc keyword extraction
         "entropy_signals": q_entropy_signals,  # char/word entropy gate
+        "lsh_incremental": q_lsh_incremental,  # near-dup probe vs history index
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3167,6 +3188,61 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_search": _hybrid_oracle(),
         "tfidf_terms": _tfidf_oracle(),
         "entropy_signals": _entropy_oracle(),
+        "lsh_incremental": """
+            WITH hist AS (SELECT * FROM documents WHERE doc_id < 100),
+            newb AS (
+              SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+              UNION ALL
+              SELECT doc_id, text FROM documents WHERE doc_id >= 100 AND doc_id < 150
+            ),
+            sh_h AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM hist d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sig_h AS (
+              SELECT sh.doc_id, s.seed, min(md5(sh.sh || ':' || s.seed)) AS minhash
+              FROM sh_h sh CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS seed) s
+              GROUP BY sh.doc_id, s.seed
+            ),
+            banded_h AS (
+              SELECT doc_id, (seed - 1) // 2 AS band_id,
+                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+              FROM sig_h GROUP BY doc_id, (seed - 1) // 2
+            ),
+            sh_n AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM newb d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sig_n AS (
+              SELECT sh.doc_id, s.seed, min(md5(sh.sh || ':' || s.seed)) AS minhash
+              FROM sh_n sh CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS seed) s
+              GROUP BY sh.doc_id, s.seed
+            ),
+            banded_n AS (
+              SELECT doc_id, (seed - 1) // 2 AS band_id,
+                     string_agg(minhash, '|' ORDER BY minhash) AS band_key
+              FROM sig_n GROUP BY doc_id, (seed - 1) // 2
+            ),
+            hh AS (
+              SELECT n.doc_id, count(DISTINCT h.doc_id) AS n_hist_hits
+              FROM banded_n n JOIN banded_h h
+                ON n.band_id = h.band_id AND n.band_key = h.band_key
+              GROUP BY n.doc_id
+            ),
+            bh AS (
+              SELECT a.doc_id, count(DISTINCT b.doc_id) AS n_batch_hits
+              FROM banded_n a JOIN banded_n b
+                ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id > b.doc_id
+              GROUP BY a.doc_id
+            )
+            SELECT newb.doc_id,
+                   coalesce(n_hist_hits, 0) AS n_hist_hits,
+                   coalesce(n_batch_hits, 0) AS n_batch_hits,
+                   coalesce(n_hist_hits, 0) > 0 OR coalesce(n_batch_hits, 0) > 0
+                       AS maybe_dup
+            FROM newb LEFT JOIN hh USING (doc_id) LEFT JOIN bh USING (doc_id)
+""",
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

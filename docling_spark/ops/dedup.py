@@ -60,16 +60,84 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_bands(
     docs: DataFrame, k: int = 8, seeds: list[int] = DEFAULT_SEEDS, band_size: int = 2
 ) -> DataFrame:
-    """MinHash-LSH: band the signature, self-join on (band_id, band_key)."""
+    """(doc_id, band_id, band_key): the persistable LSH index rows — what
+    an incremental deployment stores per crawl and probes new batches
+    against (:func:`lsh_incremental_dups`)."""
     sig = minhash_signatures(docs, k=k, seeds=seeds)
-    banded = (
+    return (
         sig.withColumn("band_id", ((F.col("seed") - 1) / band_size).cast("int"))
         .groupBy("doc_id", "band_id")
         .agg(F.concat_ws("|", F.sort_array(F.collect_list("minhash"))).alias("band_key"))
     )
+
+
+def lsh_incremental_dups(
+    new: DataFrame,
+    history_bands: DataFrame,
+    k: int = 8,
+    seeds: list[int] = DEFAULT_SEEDS,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental NEAR-dup: flag new-batch docs that LSH-collide with
+    the persisted history index or with an EARLIER doc of the same batch
+    (lower doc_id wins, so the verdict set is deterministic and exactly
+    one copy of a novel near-dup group survives).
+
+    The near-dup companion to ops/bloom's exact incremental probe: the
+    history is touched only through (band_id, band_key) equi-joins —
+    never rescanned, never all-pairs. At 10^12 docs the history index is
+    bucketed by band_key, making the probe join shuffle-free on the
+    history side; within-batch collisions join only the (small) batch
+    against itself.
+
+    Returns (doc_id, n_hist_hits, n_batch_hits, maybe_dup) per new doc.
+    """
+    nb = lsh_bands(new, k=k, seeds=seeds, band_size=band_size)
+    hist_hits = (
+        nb.alias("n")
+        .join(
+            history_bands.alias("h"),
+            (F.col("n.band_id") == F.col("h.band_id"))
+            & (F.col("n.band_key") == F.col("h.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("h.doc_id")).alias("n_hist_hits"))
+    )
+    batch_hits = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") > F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.count_distinct(F.col("b.doc_id")).alias("n_batch_hits"))
+    )
+    return (
+        new.select("doc_id")
+        .join(hist_hits, "doc_id", "left")
+        .join(batch_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hist_hits", F.lit(0)).alias("n_hist_hits"),
+            F.coalesce("n_batch_hits", F.lit(0)).alias("n_batch_hits"),
+            (
+                (F.coalesce("n_hist_hits", F.lit(0)) > 0)
+                | (F.coalesce("n_batch_hits", F.lit(0)) > 0)
+            ).alias("maybe_dup"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, k: int = 8, seeds: list[int] = DEFAULT_SEEDS, band_size: int = 2
+) -> DataFrame:
+    """MinHash-LSH: band the signature, self-join on (band_id, band_key)."""
+    banded = lsh_bands(docs, k=k, seeds=seeds, band_size=band_size)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -1,0 +1,53 @@
+"""Incremental MinHash-LSH near-dup (ops/dedup.lsh_incremental_dups)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def test_lsh_incremental_dups(spark):
+    """Incremental near-dup probe: history collisions flag, earlier-id
+    wins within a batch, novel docs pass."""
+    from docling_spark.ops.dedup import lsh_bands, lsh_incremental_dups
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} with shared prefix words")
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    hb = lsh_bands(hist, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    new = spark.createDataFrame(
+        [
+            # exact copy of history doc 2
+            (100, "history document number 2 with shared prefix words"),
+            # novel pair, identical to each other only
+            (200, "a completely different novel text body here xyzzy"),
+            (201, "a completely different novel text body here xyzzy"),
+            # unique novel doc
+            (300, "qqq unrelated content that matches nothing at all zz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hist_hits"], r["n_batch_hits"], r["maybe_dup"])
+        for r in lsh_incremental_dups(
+            new, hb, k=8, seeds=[1, 2, 3, 4], band_size=2
+        ).collect()
+    }
+    assert got[100][0] >= 1 and got[100][2] is True
+    # earlier-id wins: 200 survives, 201 flags against it
+    assert got[200] == (0, 0, False)
+    assert got[201] == (0, 1, True)
+    assert got[300] == (0, 0, False)
