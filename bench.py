@@ -32,6 +32,7 @@ HEADLINE = [
     "chunk_spans_frozen",
     "dedup_exact",
     "lsh_dup_pairs",
+    "lsh_incremental",
     "dedup_clusters",
     "substr_dedup",
     "semdedup",
