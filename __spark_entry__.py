@@ -1431,6 +1431,65 @@ def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain reputation rollup (the RefinedWeb/FineWeb domain-prior
+    table): the composed curate_web verdicts aggregated by crawl host —
+    docs, keeps, keep rate, per-stage reject counts. The allow/deny-list
+    builder a 10^12-doc pipeline maintains per crawl. Scale shape: the
+    slim (doc_id, reason, keep) verdict frame joins the (doc_id, host)
+    law and collapses in ONE map-side-combinable groupBy on host (#hosts
+    << #docs); keep_rate is an exactly-rounded IEEE division, so the
+    whole report is cross-engine bit-exact."""
+    from docling_spark.ops import urlfilter
+
+    cw = q_curate_web(spark, sf_dir)
+    hosts = urlfilter.synth_urls(
+        _docs(spark, sf_dir).select("doc_id")
+    ).select("doc_id", urlfilter.url_host(F.col("url")).alias("host"))
+    j = cw.join(hosts, "doc_id")
+    return j.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        (
+            F.sum(F.col("keep").cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("keep_rate"),
+        F.sum(F.col("reason").startswith("url:").cast("long")).alias(
+            "n_url_rejects"
+        ),
+        F.sum(F.col("reason").startswith("gopher:").cast("long")).alias(
+            "n_gopher_rejects"
+        ),
+        F.sum((F.col("reason") == "lm_tail").cast("long")).alias(
+            "n_lm_rejects"
+        ),
+    )
+
+
+def _domain_reputation_oracle() -> str:
+    from docling_spark.ops.urlfilter import _HOSTS
+
+    hosts = "[" + ", ".join(f"'{h}'" for h in _HOSTS) + "]"
+    return f"""
+    WITH cw AS ({_curate_web_oracle()}),
+    urls AS (
+        SELECT doc_id,
+               list_extract({hosts}, CAST(doc_id % 12 + 1 AS INTEGER)) AS host
+        FROM documents
+    )
+    SELECT host,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS keep_rate,
+           CAST(sum(CASE WHEN reason LIKE 'url:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_url_rejects,
+           CAST(sum(CASE WHEN reason LIKE 'gopher:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_rejects,
+           CAST(sum(CASE WHEN reason = 'lm_tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_rejects
+    FROM cw JOIN urls USING (doc_id)
+    GROUP BY host
+    """
+
+
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL RefinedWeb/Dolma-shaped training-data pipeline in one
     composed plan: extraction → Gopher curation on the extracted text →
@@ -1958,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,  # per-doc keyword extraction
         "entropy_signals": q_entropy_signals,  # char/word entropy gate
         "lsh_incremental": q_lsh_incremental,  # near-dup probe vs history index
+        "domain_reputation": q_domain_reputation,  # per-host keep-rate rollup
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3243,6 +3303,7 @@ def oracle_sql() -> dict[str, str]:
                        AS maybe_dup
             FROM newb LEFT JOIN hh USING (doc_id) LEFT JOIN bh USING (doc_id)
 """,
+        "domain_reputation": _domain_reputation_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
