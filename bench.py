@@ -50,6 +50,7 @@ HEADLINE = [
     "entropy_signals",
     "corpus_mix",
     "curate_web",
+    "domain_reputation",
     "pipeline_e2e",
     "pipeline_incremental",
     "para_dedup",
