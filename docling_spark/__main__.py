@@ -361,6 +361,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--base-uri-mode", choices=["none", "url"], default="none")
     p.add_argument("--max-bytes", type=int, default=64 * 1024 * 1024)
     p.add_argument("--no-dedup-latest", action="store_true")
+    p.add_argument(
+        "--since-snapshot",
+        default=None,
+        help="previous crawl snapshot path: process only added/changed "
+        "urls (crawl CDC, ops/snapshot.delta_worklist) — the O(delta) "
+        "nightly incremental mode",
+    )
     p.add_argument("--pdf-password", default="")
     p.add_argument("--master", default=None, help="only for local runs; under spark-submit leave unset")
     args = p.parse_args(argv)
@@ -378,6 +385,11 @@ def main(argv: list[str] | None = None) -> int:
         spark = SparkSession.builder.getOrCreate()
 
     pages = spark.read.parquet(args.input)
+    if args.since_snapshot:
+        from docling_spark.ops.snapshot import delta_worklist
+
+        old = spark.read.parquet(args.since_snapshot)
+        pages = delta_worklist(old, pages).drop("status")
     cfg = RunConfig(
         run_id=args.run_id,
         output_path=args.output,

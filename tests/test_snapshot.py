@@ -82,3 +82,48 @@ def test_plan_is_slim_and_python_free(spark):
     # exchange) and never reach the output row
     assert "sha2" in plan
     assert "html" not in snapshot_delta(old, new).columns
+
+
+def test_cli_since_snapshot_incremental(spark, tmp_path):
+    """`python -m docling_spark --since-snapshot` processes ONLY the
+    added/changed urls of the new crawl — the O(delta) nightly mode."""
+    from docling_spark.__main__ import main
+
+    old_rows = [
+        ("https://t.test/a", None, b"<html><body>A v1</body></html>", None, None),
+        ("https://t.test/b", None, b"<html><body>B v1</body></html>", None, None),
+    ]
+    new_rows = [
+        ("https://t.test/a", None, b"<html><body>A v1</body></html>", None, None),
+        ("https://t.test/b", None, b"<html><body>B v2</body></html>", None, None),
+        ("https://t.test/c", None, b"<html><body>C new</body></html>", None, None),
+    ]
+    schema = (
+        "url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    out = str(tmp_path / "out")
+    spark.createDataFrame(old_rows, schema).write.parquet(old_p)
+    spark.createDataFrame(new_rows, schema).write.parquet(new_p)
+
+    rc = main(
+        [
+            "--input", new_p,
+            "--output", out,
+            "--run-id", "cdc-test",
+            "--num-chunks", "2",
+            "--since-snapshot", old_p,
+            "--master", "local[4]",
+        ]
+    )
+    assert rc == 0
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(f"{out}/data").collect()
+    }
+    # unchanged url a skipped; changed b and added c extracted
+    assert set(got) == {"https://t.test/b", "https://t.test/c"}
+    assert got["https://t.test/b"] == "B v2"
+    assert got["https://t.test/c"] == "C new"
