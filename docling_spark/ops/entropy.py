@@ -10,6 +10,12 @@ the unstructured kind.
 Scale shape: pure in-row JVM higher-order functions — split,
 sort_array(array_distinct(...)), a transform computing each symbol's
 -p·ln(p) term, and an in-row aggregate. Zero shuffles, zero Python.
+Cost is O(distinct_symbols × len) per row: bounded for char entropy
+(alphabet-sized distinct set) and fine for crawl-page word entropy
+(10^2-10^3 distinct words); a corpus of multi-MB documents would
+instead explode tokens into a (doc_id, term) count (the ops/tfidf.py
+tf shape) and aggregate per doc — one shuffle, O(len) work — without
+changing the quantized-term law.
 
 Cross-engine determinism: each symbol's -p·ln(p) term is dyadically
 quantized to 1/2^20 (ln is the only non-exact op; p itself is an

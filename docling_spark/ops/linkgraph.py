@@ -57,7 +57,10 @@ def extract_links(pages: DataFrame) -> DataFrame:
     dropped. Pure JVM: decode -> regexp_extract_all -> explode ->
     resolve -> filter."""
     hrefs = F.array_distinct(
-        F.regexp_extract_all(F.decode(F.col("html"), "UTF-8"), F.lit(HREF_RE), F.lit(1))
+        # lenient decode (invalid UTF-8 -> replacement chars): a hostile crawl
+        # blob must degrade to zero edges, not throw (F.decode raises
+        # MALFORMED_CHARACTER_CODING on arbitrary binary)
+        F.regexp_extract_all(F.col("html").cast("string"), F.lit(HREF_RE), F.lit(1))
     )
     edges = (
         pages.select(F.col("url").alias("src"), F.explode(hrefs).alias("href"))
@@ -84,7 +87,7 @@ def extract_links_text(pages: DataFrame) -> DataFrame:
     target-side relevance signal (what OTHER pages call this url) —
     aggregated per target by :func:`anchor_stats`.
     """
-    body = F.decode(F.col("html"), "UTF-8")
+    body = F.col("html").cast("string")  # lenient decode, as extract_links
     pairs = F.arrays_zip(
         F.regexp_extract_all(body, F.lit(A_ELEM_RE), F.lit(1)).alias("href"),
         F.regexp_extract_all(body, F.lit(A_ELEM_RE), F.lit(2)).alias("anchor"),

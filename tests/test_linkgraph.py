@@ -174,3 +174,15 @@ def test_anchor_stats_profile(spark):
         texts = sorted({a for _, a in trips})
         assert stats[url] == (len(trips), len(texts), "|".join(texts)), url
     assert set(stats) == set(triples)
+
+
+def test_invalid_utf8_never_throws(spark):
+    # lenient decode posture: arbitrary binary yields zero edges, no error
+    from docling_spark.ops.linkgraph import extract_links, extract_links_text
+
+    hostile = _page(spark, "https://h.test/p", "")
+    hostile = hostile.withColumn(
+        "html", F.lit(b"\xff\xfe\x80<a href=" + b"\x81" * 50)
+    )
+    assert extract_links(hostile).count() == 0
+    assert extract_links_text(hostile).count() == 0
