@@ -3287,6 +3287,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT n.doc_id, count(DISTINCT h.doc_id) AS n_hist_hits
               FROM banded_n n JOIN banded_h h
                 ON n.band_id = h.band_id AND n.band_key = h.band_key
+               AND n.doc_id <> h.doc_id
               GROUP BY n.doc_id
             ),
             bh AS (

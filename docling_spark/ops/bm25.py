@@ -59,6 +59,11 @@ def bm25_scores(
 ) -> DataFrame:
     """Top-``k`` (doc_id, score, matched) for the bag-of-words query
     ``terms``. Ties broken by doc_id ascending."""
+    if not terms:
+        raise ValueError(
+            "bm25_scores needs at least one query term (did upstream "
+            "normalization drop them all?)"
+        )
     toks = _toks(F.col(text_col))
     base = docs.select(
         "doc_id",

@@ -101,7 +101,11 @@ def lsh_incremental_dups(
         .join(
             history_bands.alias("h"),
             (F.col("n.band_id") == F.col("h.band_id"))
-            & (F.col("n.band_key") == F.col("h.band_key")),
+            & (F.col("n.band_key") == F.col("h.band_key"))
+            # a re-crawled page arriving under its OWN historical doc_id
+            # must not flag against itself — only collisions with OTHER
+            # documents make it a duplicate
+            & (F.col("n.doc_id") != F.col("h.doc_id")),
         )
         .groupBy(F.col("n.doc_id").alias("doc_id"))
         .agg(F.count_distinct(F.col("h.doc_id")).alias("n_hist_hits"))

@@ -40,21 +40,18 @@ def _entropy(symbols: Column) -> Column:
     """Shannon entropy (nats) of a symbol array, dyadic per-term."""
     n = F.size(symbols).cast("double")
     uniq = F.sort_array(F.array_distinct(symbols))
-    terms = F.transform(
+    # ONE counting scan per distinct symbol (the O(distinct × len)
+    # dominant cost); the -p·ln(p) term is then pure arithmetic over
+    # the counts array
+    counts = F.transform(
         uniq,
-        lambda s: F.round(
-            -(
-                F.size(F.filter(symbols, lambda x: x == s)).cast("double")
-                / n
-            )
-            * F.log(
-                F.size(F.filter(symbols, lambda x: x == s)).cast("double")
-                / n
-            )
-            * QUANT,
-            0,
-        )
-        / QUANT,
+        lambda s: F.size(F.filter(symbols, lambda x: x == s)).cast(
+            "double"
+        ),
+    )
+    terms = F.transform(
+        counts,
+        lambda c: F.round(-(c / n) * F.log(c / n) * QUANT, 0) / QUANT,
     )
     return F.when(
         F.size(symbols) > 0,
@@ -64,9 +61,11 @@ def _entropy(symbols: Column) -> Column:
 
 def entropy_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text) -> char/word unigram entropy + distinct counts."""
+    from .bm25 import _toks  # the one whitespace tokenizer, oracle-mirrored
+
     t = F.col(text_col)
     chars = F.filter(F.split(t, ""), lambda c: F.length(c) > 0)
-    words = F.filter(F.split(F.lower(t), r"\s+"), lambda w: F.length(w) > 0)
+    words = _toks(t)
     return docs.select(
         "doc_id",
         F.size(chars).alias("n_chars"),

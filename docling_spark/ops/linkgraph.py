@@ -72,10 +72,13 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return edges.distinct()
 
 
-# a COMPLETE anchor element; groups: 1 = href, 2 = inner text. The href
-# and text arrays are extracted with the SAME regex (different group
-# index), so they always zip positionally — no count-mismatch risk.
-A_ELEM_RE = r'<a\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>'
+# a COMPLETE anchor element; groups: 1 = href, 2 = inner markup (lazy
+# up to the first </a>, so nested <b>/<img>/<span> wrappers — most real
+# anchors — are captured rather than dropped; tags are stripped from
+# the text afterwards). The href and text arrays are extracted with the
+# SAME regex (different group index), so they always zip positionally —
+# no count-mismatch risk.
+A_ELEM_RE = r'(?s)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
 
 
 def extract_links_text(pages: DataFrame) -> DataFrame:
@@ -100,7 +103,14 @@ def extract_links_text(pages: DataFrame) -> DataFrame:
         .select(
             "src",
             resolve_href(F.col("src"), F.col("href")).alias("dst"),
-            "anchor",
+            # visible text: strip nested tags, collapse whitespace
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("anchor"), r"<[^>]*>", ""),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("anchor"),
         )
         .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
         .distinct()
@@ -108,9 +118,12 @@ def extract_links_text(pages: DataFrame) -> DataFrame:
 
 
 def anchor_stats(edges_text: DataFrame) -> DataFrame:
-    """Per-target anchor-text profile: how many pages reference the url
-    and with what visible texts (sorted-distinct, '|'-joined so the
-    value is engine-portable and order-stable).
+    """Per-target anchor-text profile: n_refs counts the distinct
+    (src, anchor) references pointing at the url (one source page
+    linking with two different texts contributes two), n_texts the
+    distinct texts, anchors the sorted-distinct '|'-join (engine-
+    portable, order-stable). Use count_distinct('src') instead if you
+    want a per-page in-degree prior.
 
     One map-side-combinable groupBy on ``dst`` — at 10^12 edges this is
     a single slim-string exchange; collect_set is bounded by the

@@ -19,28 +19,41 @@ from pyspark.sql import functions as F
 
 __all__ = ["page_meta", "synth_meta_pages", "page_meta_oracle_sql"]
 
-_HEAD_BYTES = 8192
-
 _TITLE = r"(?is)<title[^>]*>([^<]*)</title>"
-_DESC = (
-    r'(?is)<meta\s[^>]*name\s*=\s*["\']description["\'][^>]*'
-    r'content\s*=\s*["\']([^"\']*)["\']'
-)
-_OG_TITLE = (
-    r'(?is)<meta\s[^>]*property\s*=\s*["\']og:title["\'][^>]*'
-    r'content\s*=\s*["\']([^"\']*)["\']'
-)
+
+
+def _meta_res(attr: str, value: str) -> tuple[str, str]:
+    """Both attribute orders for <meta {attr}="{value}" content="...">
+    (the robots-gate posture, ops/robots.py — CMSes emit either)."""
+    return (
+        rf'(?is)<meta\s[^>]*{attr}\s*=\s*["\']{value}["\'][^>]*'
+        rf'content\s*=\s*["\']([^"\']*)["\']',
+        rf'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+        rf'{attr}\s*=\s*["\']{value}["\']',
+    )
+
+
+_DESC = _meta_res("name", "description")
+_OG_TITLE = _meta_res("property", "og:title")
 _HTML_LANG = r'(?is)<html\s[^>]*lang\s*=\s*["\']([^"\']*)["\']'
 
 
 def page_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
-    head = F.substring(F.col(html_col), 1, _HEAD_BYTES).cast("string")
-    grab = lambda rx: F.nullif(F.trim(F.regexp_extract(head, rx, 1)), F.lit(""))
+    from .robots import _head  # the one bounded lenient head window
+
+    head = _head(F.col(html_col))
+
+    def grab(rx: str):
+        return F.nullif(F.trim(F.regexp_extract(head, rx, 1)), F.lit(""))
+
+    def grab_meta(res: tuple[str, str]):
+        return F.coalesce(grab(res[0]), grab(res[1]))
+
     return pages.withColumns(
         {
             "title": grab(_TITLE),
-            "meta_description": grab(_DESC),
-            "og_title": grab(_OG_TITLE),
+            "meta_description": grab_meta(_DESC),
+            "og_title": grab_meta(_OG_TITLE),
             "html_lang": grab(_HTML_LANG),
         }
     )

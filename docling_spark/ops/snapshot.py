@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "content_hash",
     "snapshot_delta",
+    "old_slim_frame",
     "delta_worklist",
     "synth_snapshots",
     "snapshot_delta_oracle_sql",
@@ -43,8 +44,15 @@ __all__ = [
 
 
 def content_hash(html: Column) -> Column:
-    """Content identity of a page blob (hex sha256, JVM-side)."""
-    return F.sha2(html, 256)
+    """Content identity of a page blob (hex sha256, JVM-side).
+
+    NULL blobs (fetch failures) hash as empty content: sha2(NULL) would
+    be NULL, and a NULL hash makes the full-outer classifier call a
+    url that exists in BOTH snapshots 'added'/'removed' and makes the
+    work-list inequality evaluate to NULL (silently dropping
+    content→NULL transitions). Coalescing keeps presence and content
+    questions orthogonal."""
+    return F.sha2(F.coalesce(html, F.lit(b"")), 256)
 
 
 def _slim(df: DataFrame, side: str) -> DataFrame:
@@ -77,17 +85,26 @@ def snapshot_delta(old: DataFrame, new: DataFrame) -> DataFrame:
     )
 
 
-def delta_worklist(old: DataFrame, new: DataFrame) -> DataFrame:
+def old_slim_frame(old: DataFrame) -> DataFrame:
+    """The (url, _old_hash) projection the work list probes. Compute it
+    once and persist when probing MANY batches against one snapshot
+    (the streaming path) so the old blobs are scanned and hashed once,
+    not per micro-batch."""
+    return old.select("url", content_hash(F.col("html")).alias("_old_hash"))
+
+
+def delta_worklist(
+    old: DataFrame, new: DataFrame, old_slim: DataFrame | None = None
+) -> DataFrame:
     """The rows a downstream stage must (re)process: the new snapshot's
     added + changed pages, full width, each tagged with its status.
 
     Left join of the full new snapshot against the slim old frame —
     blobs move once; unchanged rows are dropped before any extraction
-    stage sees them.
+    stage sees them. Pass ``old_slim`` (from :func:`old_slim_frame`,
+    persisted) to amortize the old-snapshot hash across many probes.
     """
-    o = old.select(
-        "url", content_hash(F.col("html")).alias("_old_hash")
-    )
+    o = old_slim if old_slim is not None else old_slim_frame(old)
     n = new.withColumn("_new_hash", content_hash(F.col("html")))
     return (
         n.join(o, "url", "left")

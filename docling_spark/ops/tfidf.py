@@ -43,10 +43,9 @@ def tfidf_top_terms(
     tf·idf, ties broken by term ascending. Terms present in more than
     ``max_df_frac`` of docs (stop-words — also the skewed join keys)
     are dropped before scoring."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), r"\s+"),
-        lambda t: F.length(t) > 0,
-    )
+    from .bm25 import _toks  # the one whitespace tokenizer, oracle-mirrored
+
+    toks = _toks(F.col(text_col))
     tf = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .groupBy("doc_id", "term")
@@ -54,14 +53,21 @@ def tfidf_top_terms(
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
+    # prune the hot keys BEFORE the tf ⋈ df join: the over-max-df term
+    # list is tiny (stop-words), so both sides drop their skewed rows in
+    # a broadcast anti-join map-side and the term-keyed exchange never
+    # carries them (the ops/dedup.jaccard_pairs max_doc_freq idiom)
+    hot = (
+        dfreq.crossJoin(F.broadcast(n))
         .filter(
             F.col("df").cast("double")
-            <= F.lit(max_df_frac) * F.col("n_docs").cast("double")
+            > F.lit(max_df_frac) * F.col("n_docs").cast("double")
         )
+        .select("term")
     )
+    tf = tf.join(F.broadcast(hot), "term", "left_anti")
+    dfreq = dfreq.join(F.broadcast(hot), "term", "left_anti")
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n))
     idf = (
         F.round(
             F.log(

@@ -272,11 +272,15 @@ def cdc_worklist_stream(
     batch N overwrites N's directory, so the union of batch outputs
     equals the batch work list exactly-once across kill/restart. The
     old snapshot enters each micro-batch as the slim (url, hash)
-    projection only."""
-    from .ops.snapshot import delta_worklist
+    projection, computed and PERSISTED once up front — the old blobs
+    are scanned and hashed a single time, not per micro-batch."""
+    from .ops.snapshot import delta_worklist, old_slim_frame
+
+    old_slim = old_slim_frame(old_snapshot).persist()
+    old_slim.count()  # materialize before the first batch
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        wl = delta_worklist(old_snapshot, batch_df)
+        wl = delta_worklist(old_snapshot, batch_df, old_slim=old_slim)
         wl.write.mode("overwrite").parquet(f"{output_path}/batch_id={batch_id}")
 
     reader = (

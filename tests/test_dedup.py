@@ -51,3 +51,23 @@ def test_lsh_incremental_dups(spark):
     assert got[200] == (0, 0, False)
     assert got[201] == (0, 1, True)
     assert got[300] == (0, 0, False)
+
+
+def test_lsh_incremental_recrawl_same_id_not_self_dup(spark):
+    """A page re-crawled under its OWN historical doc_id must not flag
+    against itself — only collisions with OTHER documents count."""
+    from docling_spark.ops.dedup import lsh_bands, lsh_incremental_dups
+
+    hist = spark.createDataFrame(
+        [(7, "stable page body that barely changes between crawls")],
+        "doc_id long, text string",
+    )
+    hb = lsh_bands(hist, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    new = spark.createDataFrame(
+        [(7, "stable page body that barely changes between crawls")],
+        "doc_id long, text string",
+    )
+    got = lsh_incremental_dups(
+        new, hb, k=8, seeds=[1, 2, 3, 4], band_size=2
+    ).collect()[0]
+    assert got["n_hist_hits"] == 0 and got["maybe_dup"] is False

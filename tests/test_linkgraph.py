@@ -186,3 +186,29 @@ def test_invalid_utf8_never_throws(spark):
     )
     assert extract_links(hostile).count() == 0
     assert extract_links_text(hostile).count() == 0
+
+
+def test_anchor_nested_markup_kept(spark):
+    """Most real anchors wrap <b>/<img>/<span>: the element regex must
+    capture them (lazy to the first </a>) and strip tags from the text,
+    so the edge set matches extract_links."""
+    from docling_spark.ops.linkgraph import extract_links, extract_links_text
+
+    body = (
+        '<a href="https://x.test/a"><b>Click</b> here</a>'
+        '<a href="https://x.test/b"><img src="i.png"></a>'
+        '<a href="https://x.test/c">plain</a>'
+    )
+    page = _page(spark, "https://s.test/p", body)
+    triples = {
+        (r["dst"], r["anchor"]) for r in extract_links_text(page).collect()
+    }
+    assert triples == {
+        ("https://x.test/a", "Click here"),
+        ("https://x.test/b", ""),
+        ("https://x.test/c", "plain"),
+    }
+    # edge parity with the href-only extractor
+    assert {r["dst"] for r in extract_links(page).collect()} == {
+        t[0] for t in triples
+    }

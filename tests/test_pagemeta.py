@@ -77,3 +77,14 @@ def test_plan_zero_exchange_zero_python(spark):
     plan = page_meta(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "pythonUDF" not in plan and "MapInPandas" not in plan
+
+
+def test_flipped_meta_attribute_order(spark):
+    # CMSes emit content-before-name; both orders must extract
+    r = _one(
+        spark,
+        b'<meta content="flipped desc" name="description">'
+        b'<meta content="flipped og" property="og:title">',
+    )
+    assert r["meta_description"] == "flipped desc"
+    assert r["og_title"] == "flipped og"

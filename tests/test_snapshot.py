@@ -127,3 +127,15 @@ def test_cli_since_snapshot_incremental(spark, tmp_path):
     assert set(got) == {"https://t.test/b", "https://t.test/c"}
     assert got["https://t.test/b"] == "B v2"
     assert got["https://t.test/c"] == "C new"
+
+
+def test_null_html_is_content_not_presence(spark):
+    """A fetch-failure NULL blob must classify by URL presence, with
+    NULL treated as empty content — never as 'added'/'removed', and
+    content->NULL transitions must reach the work list as 'changed'."""
+    old = _snap(spark, [("u1", b"body"), ("u2", None), ("u3", None)])
+    new = _snap(spark, [("u1", None), ("u2", b"now has body"), ("u3", None)])
+    got = {r["url"]: r["status"] for r in snapshot_delta(old, new).collect()}
+    assert got == {"u1": "changed", "u2": "changed", "u3": "unchanged"}
+    wl = {r["url"] for r in delta_worklist(old, new).collect()}
+    assert wl == {"u1", "u2"}
