@@ -1315,6 +1315,46 @@ def q_lsh_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (ops/hits.py) over the EXTRACTED link
+    graph: an engine-exact 4-round trajectory — dyadic quantization
+    after every L1 normalize makes all sums exact and order-independent
+    (the qclassifier GD idiom), so every hub/auth score value-checks
+    against the oracle's unrolled CTEs. Edge list persisted twice
+    (pre-partitioned by src and by dst — the two join keys); each round
+    shuffles only slim (node, score) frames."""
+    from docling_spark.ops.hits import hits
+    from docling_spark.ops.linkgraph import web_edges
+
+    edges = web_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return hits(nodes, edges, iters=4)
+
+
+def _hits_oracle() -> str:
+    from docling_spark.ops.hits import hits_oracle_sql
+    from docling_spark.ops.linkgraph import LINKED_EDGES_CTE_SQL
+
+    edges_cte = (
+        LINKED_EDGES_CTE_SQL
+        + """,
+        hits_edges AS MATERIALIZED (SELECT src, dst FROM edges),
+        hits_nodes AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM hits_edges
+                UNION SELECT dst AS node FROM hits_edges
+            )
+        )"""
+    )
+    return hits_oracle_sql(edges_cte.lstrip(), "", iters=4).replace(
+        "WITH \n,", "WITH "
+    )
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -2018,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_signals": q_entropy_signals,  # char/word entropy gate
         "lsh_incremental": q_lsh_incremental,  # near-dup probe vs history index
         "domain_reputation": q_domain_reputation,  # per-host keep-rate rollup
+        "hits_scores": q_hits_scores,  # hubs/authorities, engine-exact
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3305,6 +3346,7 @@ def oracle_sql() -> dict[str, str]:
             FROM newb LEFT JOIN hh USING (doc_id) LEFT JOIN bh USING (doc_id)
 """,
         "domain_reputation": _domain_reputation_oracle(),
+        "hits_scores": _hits_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

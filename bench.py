@@ -43,6 +43,7 @@ HEADLINE = [
     "url_filter",
     "canonical_dedup",
     "link_graph",
+    "hits_scores",
     "lm_quality",
     "quality_classifier",
     "dsir_weights",
