@@ -1355,6 +1355,31 @@ def _hits_oracle() -> str:
     )
 
 
+def q_link_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling over the extracted link graph
+    (ops/linksim.py): source pairs sharing >= 2 out-link targets — the
+    classic related-pages candidate generator. One equi-join on the
+    shared endpoint with the jaccard_pairs hot-key cap (broadcast
+    anti-join) defusing the quadratic footer-link case."""
+    from docling_spark.ops.linkgraph import web_edges
+    from docling_spark.ops.linksim import bibliographic_coupling
+
+    return bibliographic_coupling(web_edges(spark, sf_dir), min_shared=2)
+
+
+def _link_coupling_oracle() -> str:
+    from docling_spark.ops.linkgraph import LINKED_EDGES_CTE_SQL
+
+    return f"""
+    WITH {LINKED_EDGES_CTE_SQL},
+    deg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+    e AS (SELECT edges.* FROM edges JOIN deg USING (dst) WHERE d <= 1000)
+    SELECT a.src AS page_a, b.src AS page_b, count(*) AS n_shared
+    FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+    GROUP BY a.src, b.src HAVING count(*) >= 2
+    """
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -2059,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_incremental": q_lsh_incremental,  # near-dup probe vs history index
         "domain_reputation": q_domain_reputation,  # per-host keep-rate rollup
         "hits_scores": q_hits_scores,  # hubs/authorities, engine-exact
+        "link_coupling": q_link_coupling,  # related pages by shared out-links
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3347,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
 """,
         "domain_reputation": _domain_reputation_oracle(),
         "hits_scores": _hits_oracle(),
+        "link_coupling": _link_coupling_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

@@ -61,3 +61,40 @@ def test_mass_conserved_and_deterministic(spark):
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, hits(n.repartition(7), e.repartition(5), iters=4).collect()))
     assert a == b
+
+
+def test_link_similarity_pairs(spark):
+    """Co-citation / coupling laws on a known graph + the hot-key cap."""
+    from docling_spark.ops.linksim import bibliographic_coupling, cocitation
+
+    _, e = _graph(
+        spark,
+        [
+            ("p1", "x"), ("p1", "y"), ("p1", "z"),
+            ("p2", "x"), ("p2", "y"),
+            ("p3", "z"),
+            ("h", "p1"), ("h", "p2"),
+        ],
+    )
+    bc = {
+        (r["page_a"], r["page_b"]): r["n_shared"]
+        for r in bibliographic_coupling(e, min_shared=2).collect()
+    }
+    # p1,p2 share {x,y}; p3 shares only z with p1 (below min_shared)
+    assert bc == {("p1", "p2"): 2}
+    cc = {
+        (r["page_a"], r["page_b"]): r["n_shared"]
+        for r in cocitation(e, min_shared=1).collect()
+    }
+    # h co-cites p1,p2; p1 co-cites x/y/z pairwise
+    assert cc[("p1", "p2")] == 1 and cc[("x", "y")] == 2
+    # hot-key cap: with max_degree=1 every shared target (x,y,z all have
+    # in-degree 2) drops from the index, so no coupling pair survives —
+    # a shared endpoint that common carries no signal
+    assert bibliographic_coupling(e, min_shared=1, max_degree=1).count() == 0
+    # at max_degree=2 they return: (p1,p2) via {x,y}, (p1,p3) via {z}
+    bc2 = {
+        (r["page_a"], r["page_b"]): r["n_shared"]
+        for r in bibliographic_coupling(e, min_shared=1, max_degree=2).collect()
+    }
+    assert bc2 == {("p1", "p2"): 2, ("p1", "p3"): 1}
