@@ -1380,6 +1380,23 @@ def _link_coupling_oracle() -> str:
     """
 
 
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided training-context windows (ops/windows.py): fixed-size
+    token slices with overlap so every token sees a full context — the
+    LM-pretraining chunking discipline next to the heading-aware packer.
+    All in-row (tokenize once, arithmetic window count, slice+join,
+    bounded posexplode); zero joins, zero Python."""
+    from docling_spark.ops.windows import sliding_windows
+
+    return sliding_windows(_docs(spark, sf_dir), size=32, stride=24)
+
+
+def _sliding_windows_oracle() -> str:
+    from docling_spark.ops.windows import sliding_windows_oracle_sql
+
+    return sliding_windows_oracle_sql(size=32, stride=24)
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -2085,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_reputation": q_domain_reputation,  # per-host keep-rate rollup
         "hits_scores": q_hits_scores,  # hubs/authorities, engine-exact
         "link_coupling": q_link_coupling,  # related pages by shared out-links
+        "sliding_windows": q_sliding_windows,  # strided training contexts
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3374,6 +3392,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_reputation": _domain_reputation_oracle(),
         "hits_scores": _hits_oracle(),
         "link_coupling": _link_coupling_oracle(),
+        "sliding_windows": _sliding_windows_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
