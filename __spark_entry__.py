@@ -1397,6 +1397,94 @@ def _sliding_windows_oracle() -> str:
     return sliding_windows_oracle_sql(size=32, stride=24)
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM with stupid backoff (ops/lm_quality.py, Brants'07 —
+    the web-scale counting LM): seen bigram scores by context-relative
+    frequency, unseen backs off to alpha*unigram; first token scores by
+    unigram alone. Same corpus law as lm_quality (originals + OOV-junk
+    copies), same dyadic-quantization exactness — every logprob is
+    train-time quantized so doc sums are order-independent and the
+    whole model value-checks cross-engine."""
+    from docling_spark.ops import lm_quality as lmq
+
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") < 300)
+    uni = lmq.train_unigram_lm(ref)
+    bi = lmq.train_bigram_lm(ref)
+    junk = F.repeat(
+        F.lit(" zq9x vv3k zzp1"), ((F.length("text") + 29) / 30).cast("int")
+    )
+    noisy = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat("text", junk).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(noisy)
+    return lmq.bigram_score(corpus, bi, uni, head=3.35, tail=6.5)
+
+
+def _lm_bigram_oracle() -> str:
+    from docling_spark.ops.lm_quality import BACKOFF_NLL
+
+    return f"""
+    WITH ref AS (SELECT * FROM documents WHERE doc_id < 300),
+    reft AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM ref),
+    rw AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS token
+        FROM ref),
+    c AS (SELECT token, count(*) AS cnt FROM rw GROUP BY token),
+    t AS (SELECT sum(cnt) AS total FROM c),
+    uni AS (SELECT token, round(ln(total / cnt) * 1024) / 1024 AS nll1
+            FROM c, t),
+    pairs AS (
+        SELECT toks[i] AS prev, toks[i + 1] AS cur
+        FROM reft, UNNEST(range(1, len(toks))) AS g(i)),
+    c12 AS (SELECT prev, cur, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT prev, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    bi AS (SELECT c12.prev, c12.cur,
+                  round(ln(CAST(c1 AS DOUBLE) / c12) * 1024) / 1024 AS nll2
+           FROM c12 JOIN c1 USING (prev)),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id,
+               text || repeat(' zq9x vv3k zzp1',
+                              CAST((length(text) + 29) // 30 AS INTEGER))
+        FROM documents WHERE doc_id % 3 = 0),
+    corpt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM corpus),
+    items AS (
+        SELECT doc_id,
+               CASE WHEN i > 1 THEN toks[i - 1] END AS prev,
+               toks[i] AS cur
+        FROM corpt, UNNEST(range(1, len(toks) + 1)) AS g(i)),
+    scoredrows AS (
+        SELECT items.doc_id,
+               CASE WHEN items.prev IS NULL
+                    THEN coalesce(uni.nll1, 16.0)
+                    ELSE coalesce(bi.nll2,
+                                  {BACKOFF_NLL} + coalesce(uni.nll1, 16.0))
+               END AS nll
+        FROM items
+        LEFT JOIN bi ON bi.prev = items.prev AND bi.cur = items.cur
+        LEFT JOIN uni ON uni.token = items.cur),
+    s AS (SELECT doc_id, count(*) AS n_tokens, sum(nll) AS sum_nll
+          FROM scoredrows GROUP BY doc_id)
+    SELECT doc_id, n_tokens, sum_nll / n_tokens AS avg_nll,
+           CASE WHEN sum_nll / n_tokens < 3.35 THEN 'head'
+                WHEN sum_nll / n_tokens < 6.5 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM s
+    """
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -2103,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,  # hubs/authorities, engine-exact
         "link_coupling": q_link_coupling,  # related pages by shared out-links
         "sliding_windows": q_sliding_windows,  # strided training contexts
+        "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM buckets
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3393,6 +3482,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle(),
         "link_coupling": _link_coupling_oracle(),
         "sliding_windows": _sliding_windows_oracle(),
+        "lm_bigram": _lm_bigram_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

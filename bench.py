@@ -45,6 +45,7 @@ HEADLINE = [
     "link_graph",
     "hits_scores",
     "lm_quality",
+    "lm_bigram",
     "quality_classifier",
     "dsir_weights",
     "text_normalize",

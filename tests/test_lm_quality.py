@@ -68,3 +68,45 @@ def test_plan_broadcast_only_scoring_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_stupid_backoff_laws(spark):
+    """Hand-checkable stupid-backoff: seen bigram beats backed-off
+    unseen one; first token scores by unigram alone; OOV worst."""
+    import math
+
+    from docling_spark.ops.lm_quality import (
+        BACKOFF_NLL,
+        QUANT,
+        bigram_score,
+        train_bigram_lm,
+        train_unigram_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b a c")], "doc_id long, text string"
+    )
+    uni = train_unigram_lm(ref)
+    bi = train_bigram_lm(ref)
+    # bigram table: c(a ·)=3 -> a b:2 (nll ln(3/2)), a c:1 (ln 3); b a:2 (ln 1)
+    got_bi = {(r["prev"], r["cur"]): r["nll2"] for r in bi.collect()}
+    q = lambda x: round(math.log(x) * QUANT) / QUANT
+    assert got_bi[("a", "b")] == q(3 / 2)
+    assert got_bi[("b", "a")] == q(1.0)
+    assert got_bi[("a", "c")] == q(3.0)
+
+    docs = spark.createDataFrame(
+        [(10, "a b"), (11, "a a"), (12, "zz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_score(docs, bi, uni).collect()}
+    uni_nll = {r["token"]: r["nll"] for r in uni.collect()}
+    # doc 10: first 'a' unigram, then seen bigram (a,b)
+    assert out[10]["avg_nll"] == pytest.approx(
+        (uni_nll["a"] + q(3 / 2)) / 2, abs=1e-12
+    )
+    # doc 11: (a,a) unseen -> backoff + unigram(a)
+    assert out[11]["avg_nll"] == pytest.approx(
+        (uni_nll["a"] + BACKOFF_NLL + uni_nll["a"]) / 2, abs=1e-12
+    )
+    # doc 12: single OOV token -> 16.0
+    assert out[12]["avg_nll"] == 16.0
