@@ -1485,6 +1485,44 @@ def _lm_bigram_oracle() -> str:
     """
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected triangle enumeration over the extracted link graph
+    (ops/linksim.py): the clustering-structure primitive (link-farm
+    cliques are triangle-dense). Two-join edge-iterator with the capped
+    hot-node semantics shared by the pair ops."""
+    from docling_spark.ops.linkgraph import web_edges
+    from docling_spark.ops.linksim import triangles
+
+    return triangles(web_edges(spark, sf_dir))
+
+
+def _triangles_oracle() -> str:
+    from docling_spark.ops.linkgraph import LINKED_EDGES_CTE_SQL
+
+    return f"""
+    WITH {LINKED_EDGES_CTE_SQL},
+    und0 AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM und0 UNION ALL SELECT b AS node FROM und0
+        ) GROUP BY node
+    ),
+    hot AS (SELECT node FROM deg WHERE d > 1000),
+    und AS (
+        SELECT * FROM und0
+        WHERE a NOT IN (SELECT node FROM hot)
+          AND b NOT IN (SELECT node FROM hot)
+    )
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """
+
+
 def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style LM quality buckets (ops/lm_quality.py): unigram LM
     trained on a trusted slice (doc_id < 300), broadcast to score a
@@ -2192,6 +2230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_coupling": q_link_coupling,  # related pages by shared out-links
         "sliding_windows": q_sliding_windows,  # strided training contexts
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM buckets
+        "triangles": q_triangles,  # link-farm clique primitive
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
@@ -3483,6 +3522,7 @@ def oracle_sql() -> dict[str, str]:
         "link_coupling": _link_coupling_oracle(),
         "sliding_windows": _sliding_windows_oracle(),
         "lm_bigram": _lm_bigram_oracle(),
+        "triangles": _triangles_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),

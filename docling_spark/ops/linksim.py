@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bibliographic_coupling", "cocitation"]
+__all__ = ["bibliographic_coupling", "cocitation", "triangles"]
 
 
 def _shared_endpoint_pairs(
@@ -51,6 +51,55 @@ def _shared_endpoint_pairs(
         )
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def triangles(
+    edges: DataFrame, max_degree: int = 1000
+) -> DataFrame:
+    """Distinct undirected triangles (a, b, c), lexicographic a < b < c —
+    the clustering-structure primitive (link-farm cliques light up as
+    dense triangle neighborhoods; organic link graphs are triangle-
+    sparse).
+
+    Shape: canonicalize to undirected a < b edges, then the standard
+    two-join edge-iterator — wedges (a,b)⋈(b,c) closed against (a,c).
+    The quadratic hot key is a high-degree node's wedge set, handled by
+    the same capped semantics as the pair ops: edges touching nodes
+    with degree > ``max_degree`` are dropped first (broadcast
+    anti-join), i.e. triangles among hub nodes are out of scope by
+    contract."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("__deg"))
+    )
+    hot = deg.filter(F.col("__deg") > max_degree).select("node")
+    und = und.join(
+        F.broadcast(hot), und["a"] == hot["node"], "left_anti"
+    ).join(F.broadcast(hot), und["b"] == hot["node"], "left_anti")
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
     )
 
 

@@ -98,3 +98,22 @@ def test_link_similarity_pairs(spark):
         for r in bibliographic_coupling(e, min_shared=1, max_degree=2).collect()
     }
     assert bc2 == {("p1", "p2"): 2, ("p1", "p3"): 1}
+
+
+def test_triangles(spark):
+    """Known graph: one triangle (a,b,c) plus a dangling wedge; the
+    degree cap removes triangles through hub nodes."""
+    from docling_spark.ops.linksim import triangles
+
+    _, e = _graph(
+        spark,
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),  # triangle (direction mixed)
+            ("c", "d"),                            # wedge only
+        ],
+    )
+    got = {tuple(r) for r in triangles(e).collect()}
+    assert got == {("a", "b", "c")}
+    # cap: node degrees are a:2 b:2 c:3 d:1 -> max_degree=2 drops every
+    # edge touching c, killing the triangle
+    assert triangles(e, max_degree=2).count() == 0
