@@ -1090,6 +1090,30 @@ def q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_stats(extract_links_text(synth_linked_pages(spark, sf_dir)))
 
 
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template boilerplate strip (ops/boilerplate.py): lines that
+    recur on >= tau of a DOMAIN's pages (nav bars, footers, cookie
+    banners) are removed from every page — first occurrence included —
+    while rare cross-page repeats survive. Complementary to para_dedup's
+    keep-first global law. Counting is one (domain, hash) exchange with
+    map-side combine; the template set folds to one row per domain and
+    the rebuild is an in-row lambda filter. The corpus law pins the
+    tau boundary exactly (a 50% promo line at tau=0.5 with >=) and the
+    oracle value-checks the rebuilt text itself."""
+    from docling_spark.ops.boilerplate import (
+        strip_boilerplate,
+        synth_domain_corpus,
+    )
+
+    return strip_boilerplate(synth_domain_corpus(spark, sf_dir))
+
+
+def _boilerplate_oracle() -> str:
+    from docling_spark.ops.boilerplate import strip_boilerplate_oracle_sql
+
+    return strip_boilerplate_oracle_sql()
+
+
 def _snapshot_delta_oracle() -> str:
     from docling_spark.ops.snapshot import snapshot_delta_oracle_sql
 
@@ -2232,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram": q_lm_bigram,  # stupid-backoff bigram LM buckets
         "triangles": q_triangles,  # link-farm clique primitive
         "anchor_stats": q_anchor_stats,  # per-target anchor-text profile
+        "boilerplate_strip": q_boilerplate,  # site-template line removal
         "mm_image_meta": q_mm_image_meta,  # fake-codec twin of mm_png_meta
         "mm_image_features": q_mm_image_features,  # twin of mm_png_features
         "mm_resize": q_mm_resize,  # fake-codec twin of mm_png_resize
@@ -3524,6 +3549,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram": _lm_bigram_oracle(),
         "triangles": _triangles_oracle(),
         "anchor_stats": _anchor_stats_oracle(),
+        "boilerplate_strip": _boilerplate_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
         "curate_web": _curate_web_oracle(),

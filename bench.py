@@ -44,8 +44,13 @@ HEADLINE = [
     "canonical_dedup",
     "link_graph",
     "hits_scores",
+    "triangles",
+    "link_coupling",
+    "anchor_stats",
     "lm_quality",
     "lm_bigram",
+    "tfidf_terms",
+    "sliding_windows",
     "quality_classifier",
     "dsir_weights",
     "text_normalize",
