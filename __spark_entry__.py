@@ -1943,6 +1943,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.dedup_assignments(docs, pairs.unionByName(chain))
 
 
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance precision stage after LSH recall
+    (ops/dedup.edit_verify_pairs): candidate pairs get a normalized
+    levenshtein similarity over a bounded prefix and an is_dup verdict.
+    Corpus law: docs 0-49 get a head-mutated copy ('EDIT v2 ' prepend,
+    distance exactly 8) so true near-dups land just under 1.0, while the
+    (i, i+1) control pairs are genuinely different texts that the 0.9
+    gate must reject. O(candidates), never all-pairs; in-row JVM
+    levenshtein, two slim doc_id joins."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 60).select(
+        "doc_id", "text"
+    )
+    mutated = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("EDIT v2 "), F.col("text")).alias("text"),
+    )
+    near = docs.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 100000).alias("doc_b"),
+    )
+    controls = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 1).alias("doc_b"),
+    )
+    return dedup.edit_verify_pairs(
+        docs.unionByName(mutated),
+        near.unionByName(controls),
+        threshold=0.9,
+        prefix=500,
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 50), bits=16)
 
@@ -2214,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
+        "edit_verify": q_edit_verify,  # levenshtein precision stage
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
         "pq_search": q_pq_search,  # rows-only by design (iterative Lloyd)
@@ -3773,6 +3806,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        "edit_verify": """
+            WITH base AS (
+              SELECT doc_id, substring(text, 1, 500) AS t
+              FROM documents WHERE doc_id < 60
+            ),
+            mut AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     substring('EDIT v2 ' || text, 1, 500) AS t
+              FROM documents WHERE doc_id < 50
+            ),
+            alldocs AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+            pairs AS (
+              SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+              FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id AS doc_a, doc_id + 1 AS doc_b
+              FROM documents WHERE doc_id < 20
+            )
+            SELECT p.doc_a, p.doc_b,
+                   levenshtein(a.t, b.t) AS edit_dist,
+                   round(1.0 - levenshtein(a.t, b.t)
+                             / greatest(length(a.t), length(b.t), 1),
+                         6) AS edit_sim,
+                   edit_sim >= 0.9 AS is_dup
+            FROM pairs p
+            JOIN alldocs a ON a.doc_id = p.doc_a
+            JOIN alldocs b ON b.doc_id = p.doc_b
         """,
         "simhash": _simhash_bits_sql(16),
         "simhash_pairs": f"""

@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "lsh_dup_pairs",
     "lsh_incremental",
+    "edit_verify",
     "dedup_clusters",
     "substr_dedup",
     "semdedup",

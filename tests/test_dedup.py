@@ -71,3 +71,36 @@ def test_lsh_incremental_recrawl_same_id_not_self_dup(spark):
         new, hb, k=8, seeds=[1, 2, 3, 4], band_size=2
     ).collect()[0]
     assert got["n_hist_hits"] == 0 and got["maybe_dup"] is False
+
+
+def test_edit_verify_pairs_verdicts_and_plan(spark):
+    """Near-identical pair accepted, unrelated pair rejected, prefix cap
+    bounds the cost, is_dup uses the rounded similarity; plan stays JVM."""
+    from docling_spark.ops.dedup import edit_verify_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 5),
+            (2, "XX" + "the quick brown fox jumps over the lazy dog " * 5),
+            (3, "completely different content about something else"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = edit_verify_pairs(docs, pairs, threshold=0.9, prefix=500)
+    got = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    assert got[(1, 2)]["edit_dist"] == 2 and got[(1, 2)]["is_dup"]
+    assert not got[(1, 3)]["is_dup"]
+    # prefix cap: distance computed on the capped window only
+    long = spark.createDataFrame(
+        [(1, "a" * 2000), (2, "a" * 10 + "b" * 1990)],
+        "doc_id long, text string",
+    )
+    p = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = edit_verify_pairs(long, p, prefix=10).collect()[0]
+    assert r["edit_dist"] == 0 and r["is_dup"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
