@@ -1620,6 +1620,24 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mix (ops/sampling.
+    rebalance_temperature, the mT5/XLM-R alpha=1/2 practice): rates are
+    COMPUTED from per-lang counts — sqrt (IEEE correctly-rounded, so
+    both engines agree bit-for-bit) + dyadic floor-quantized weights
+    (exact integer normalizing sum, order-free across partitions) +
+    a fixed-shape double chain for the rate. One slim lang agg, rates
+    broadcast back, filter-only on the fact table."""
+    from docling_spark.ops import sampling
+
+    return sampling.rebalance_temperature(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "doc_id",
+        "lang",
+        target_total=200,
+    ).select("doc_id", "lang", "rate", "weight")
+
+
 def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed RefinedWeb-shaped pipeline in ONE plan: URL gate
     (blocklist + keyword/spam/depth) → Gopher repetition/quality gate →
@@ -2210,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "lm_quality": q_lm_quality,
         "corpus_mix": q_corpus_mix,
+        "lang_rebalance": q_lang_rebalance,  # temperature mix, computed rates
         "curate_web": q_curate_web,
         "pipeline_e2e": q_pipeline_e2e,
         "decontam": q_decontam,
@@ -3585,6 +3604,25 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": _boilerplate_oracle(),
         "quality_classifier": _qclassifier_oracle(),
         "corpus_mix": _corpus_mix_oracle(),
+        "lang_rebalance": f"""
+            WITH counts AS (
+              SELECT lang, count(*) AS c FROM documents GROUP BY lang
+            ),
+            ws AS (
+              SELECT lang, c,
+                     CAST(floor(sqrt(c) * 1048576) AS BIGINT) AS wq
+              FROM counts
+            ),
+            tot AS (SELECT sum(wq) AS tw FROM ws),
+            rates AS (
+              SELECT lang,
+                     least(1.0, CAST(200 AS DOUBLE) * wq / tw / c) AS rate
+              FROM ws, tot
+            )
+            SELECT d.doc_id, d.lang, r.rate, 1.0 / r.rate AS weight
+            FROM documents d JOIN rates r USING (lang)
+            WHERE {_hash_frac_sql('rebal:')} < r.rate
+        """,
         "curate_web": _curate_web_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "decontam": f"""

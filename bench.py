@@ -57,6 +57,7 @@ HEADLINE = [
     "text_normalize",
     "entropy_signals",
     "corpus_mix",
+    "lang_rebalance",
     "curate_web",
     "domain_reputation",
     "pipeline_e2e",

@@ -93,3 +93,58 @@ def assign_splits(
         .when(frac < train + val, "val")
         .otherwise("test"),
     )
+
+
+def rebalance_temperature(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    target_total: int,
+    salt: str = "rebal:",
+    quant: int = 1 << 20,
+) -> DataFrame:
+    """Temperature-rebalanced corpus mix (the mT5/XLM-R practice):
+    down-sample over-represented strata so the kept corpus follows
+    q_g ∝ count_g^alpha instead of the raw crawl distribution, with
+    alpha = 1/2 — flattening head languages while low-resource strata
+    keep (nearly) everything. Unlike ``stratified_rates`` the rates are
+    COMPUTED FROM THE DATA: rate_g = min(1, target_total·q_g/count_g).
+
+    Cross-engine bit-parity design (the at-scale determinism property —
+    a retried task must make the identical keep decision): alpha = 1/2
+    uses ``sqrt``, which IEEE 754 requires to be correctly rounded, so
+    Spark and DuckDB agree bit-for-bit where a generic ``pow`` may
+    differ in the last ulp; the weights are then floor-quantized onto a
+    dyadic grid (×2^20 — a power of two, so the scaling itself is
+    exact) making the normalizing SUM an exact integer, order-free
+    across partitions; the final rate is a fixed-shape chain of IEEE
+    double ops (T·w/W/c, left-associated in both engines). Keep
+    decision: hash_frac(key, salt) < rate.
+
+    Scale shape: one slim (strata, count) agg, the weight table is a
+    few rows crossJoined with its 1-row total and broadcast back — the
+    corpus scan itself is filter-only, zero extra shuffles on the fact
+    table. Adds ``rate`` and ``weight`` (1/rate loss reweight).
+    """
+    c = F.col("__c")
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__c"))
+    w = F.floor(F.sqrt(c) * quant).cast("long").alias("__w")
+    weights = counts.select(strata_col, c, w)
+    # the total derives from weights, so the crossJoin is a self-join —
+    # explicit aliases keep the column references unambiguous
+    total = weights.agg(F.sum("__w").alias("__W")).alias("tt")
+    rates = weights.alias("wt").crossJoin(F.broadcast(total)).select(
+        F.col(f"wt.{strata_col}"),
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.col("wt.__w")
+            / F.col("tt.__W")
+            / F.col("wt.__c"),
+        ).alias("rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_frac(F.col(key_col), salt) < F.col("rate"))
+        .withColumn("weight", F.lit(1.0) / F.col("rate"))
+    )

@@ -77,3 +77,37 @@ def test_plan_no_shuffle_for_plain_sample(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # scan -> filter only
+
+
+def test_rebalance_temperature_flattens_and_is_stable(spark):
+    """Head stratum gets a lower keep rate than tail strata, rates cap
+    at 1.0, and the verdicts don't depend on partitioning (the retry/
+    cluster-size determinism the dyadic design exists for)."""
+    from docling_spark.ops.sampling import rebalance_temperature
+
+    rows = [(i, "en" if i < 800 else ("de" if i < 900 else "fr"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = rebalance_temperature(df, "doc_id", "lang", target_total=300)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.select("lang", "rate").distinct().collect()
+    }
+    # sqrt flattening: en (800 docs) sampled harder than de (100) / fr (100)
+    assert rates["en"] < rates["de"] == rates["fr"] <= 1.0
+    # weight is exactly 1/rate
+    w = out.filter("lang = 'en'").select("rate", "weight").first()
+    assert w["weight"] == 1.0 / w["rate"]
+    # repartitioning must not change a single verdict
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    out2 = rebalance_temperature(
+        df.repartition(7, "lang"), "doc_id", "lang", target_total=300
+    )
+    b = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert a == b
+    # generous budget -> every rate saturates at 1.0, nothing dropped
+    full = rebalance_temperature(df, "doc_id", "lang", target_total=10**9)
+    assert full.count() == 1000
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
