@@ -2025,6 +2025,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary profile (ops/textstats.vocab_topk): the
+    Zipf dashboard — global top-50 tokens with deterministic tie-break
+    plus total-token and vocabulary-size constants. One word-count
+    exchange with map-side combine; top-k via TakeOrdered heaps, never
+    a global sort materialization."""
+    return textstats.vocab_topk(_docs(spark, sf_dir), k=50)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
@@ -2260,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,  # whitespace/regex counts; chunk_pack_bpe_full records the richer tokenizer law
         "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
+        "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
@@ -3926,6 +3936,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                    md5(substring(text, 1, 64)) AS fp_prefix64
             FROM documents
+        """,
+        "vocab_stats": """
+            WITH toks AS (
+              SELECT t.tok
+              FROM documents d,
+                   UNNEST(string_split_regex(lower(d.text), '\\s+')) AS t(tok)
+              WHERE length(t.tok) > 0
+            ),
+            tf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+            consts AS (
+              SELECT CAST(sum(tf) AS BIGINT) AS total_tokens,
+                     count(*) AS vocab_size
+              FROM tf
+            ),
+            top AS (
+              SELECT tok, tf,
+                     row_number() OVER (ORDER BY tf DESC, tok) AS rank
+              FROM tf ORDER BY tf DESC, tok LIMIT 50
+            )
+            SELECT rank, tok, tf, total_tokens, vocab_size
+            FROM top, consts
         """,
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

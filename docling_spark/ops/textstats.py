@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -75,4 +76,36 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(F.col("text")).alias("fp_md5"),
         F.sha2(F.col("text"), 256).alias("fp_sha256"),
         F.md5(F.substring(F.col("text"), 1, 64)).alias("fp_prefix64"),
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level vocabulary profile — the Zipf sanity dashboard a
+    100 TB ingest checks before training (a crawl whose top terms are
+    'cookie'/'javascript' has an extraction bug; a vocabulary that
+    stopped growing has a dedup bug).
+
+    Output: top-``k`` tokens by global frequency with rank (ties broken
+    by token for determinism) plus the corpus constants every row
+    carries: total token count and distinct vocabulary size.
+
+    Scale shape: one explode → (token) agg with map-side combine — the
+    word-count shuffle, AQE-skew-eligible; the top-k is TakeOrdered
+    (per-partition heaps, no global sort materialization); the two
+    corpus constants ride a 1-row broadcast crossJoin. Zero Python.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    consts = tf.agg(
+        F.sum("tf").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    top = tf.orderBy(F.col("tf").desc(), F.col("tok")).limit(k)
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(consts))
+        .select("rank", "tok", "tf", "total_tokens", "vocab_size")
     )
