@@ -1177,6 +1177,12 @@ def _page_meta_oracle() -> str:
     return page_meta_oracle_sql()
 
 
+def _readability_oracle() -> str:
+    from docling_spark.ops.readability import readability_oracle_sql
+
+    return readability_oracle_sql()
+
+
 def q_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL-crawl composition (ops/snapshot.py + job.py):
     two-snapshot CDC -> added/changed work list -> the real mapInPandas
@@ -2034,6 +2040,16 @@ def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.vocab_topk(_docs(spark, sf_dir), k=50)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability-grade battery (ops/readability): ARI, Coleman-Liau
+    and Flesch reading ease from engine-exact letter/word/sentence/
+    syllable-heuristic counts, plus the conventional Flesch band. Pure
+    in-row JVM expressions — zero shuffles, zero Python."""
+    from docling_spark.ops.readability import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
@@ -2270,6 +2286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,  # r2 extraction->dedup->lang/length gates, subsumed by pipeline_e2e
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
+        "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
@@ -3958,6 +3975,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT rank, tok, tf, total_tokens, vocab_size
             FROM top, consts
         """,
+        "readability": _readability_oracle(),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -72,6 +72,8 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "lang_id",
+    "vocab_stats",
+    "readability",
     "cosine_topk",
     "events_hourly",
     "tpch_q1",
