@@ -991,6 +991,32 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urlfilter.url_filter(urls, urlfilter.blocked_domains(spark))
 
 
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch schedule (ops/frontier.py): host-sticky
+    fetcher-slot assignment via the engine-exact md5-Horner hash, a
+    per-host politeness queue index (one window exchange on host — the
+    irreducible shuffle, since per-host sequencing IS the politeness
+    semantics) and the earliest feasible start time per url."""
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.frontier import schedule_frontier
+
+    urls = urlfilter.synth_urls(_docs(spark, sf_dir).select("doc_id"))
+    return schedule_frontier(urls, fetchers=16, delay_s=1.0)
+
+
+def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fetcher-slot load audit of the frontier schedule: the
+    politeness bound (largest host queue, serial at one request per
+    delay) vs the bandwidth bound (total requests / fetcher rate) and
+    their max — the slot's earliest finish. The giant-host skew report
+    a crawl operator re-shards on."""
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.frontier import frontier_load
+
+    urls = urlfilter.synth_urls(_docs(spark, sf_dir).select("doc_id"))
+    return frontier_load(urls, fetchers=16, delay_s=1.0, rate_rps=10.0)
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
     fragment/tracking-param/default-port/case/path normalization as one
@@ -2248,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
+        "crawl_frontier": q_crawl_frontier,  # politeness fetch schedule
+        "frontier_load": q_frontier_load,  # per-slot makespan audit
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
         "quality_classifier": q_quality_classifier,
@@ -2619,19 +2647,14 @@ def _curate_web_oracle() -> str:
     """
 
 
-def _urlfilter_oracle() -> str:
-    """DuckDB mirror of ops/urlfilter: same URL law, same gate order."""
+def _synth_urls_sql() -> str:
+    """DuckDB mirror of ops/urlfilter.synth_urls — the deterministic
+    (doc_id, url) law shared by url_filter and the frontier oracles."""
     from docling_spark.ops import urlfilter as uf
 
     hosts = "[" + ", ".join(f"'{h}'" for h in uf._HOSTS) + "]"
     segs = "[" + ", ".join(f"'{s}'" for s in uf._SEGS) + "]"
-    blocked = " OR ".join(
-        f"host = '{d}' OR host LIKE '%.{d}'" for d in uf.DEFAULT_BLOCKED
-    )
-    hard = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.HARD_KEYWORDS)
-    soft = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.SOFT_KEYWORDS)
     return f"""
-        WITH u AS (
           SELECT doc_id,
             'https://' || list_extract({hosts}, CAST(doc_id % 12 AS INTEGER) + 1)
             || CASE WHEN doc_id % 9 > 0 THEN '/' || array_to_string(
@@ -2646,7 +2669,46 @@ def _urlfilter_oracle() -> str:
             || CASE WHEN doc_id % 15 = 0
                     THEN '?session=' || lpad(CAST(doc_id * 37 AS VARCHAR), 14, '0')
                     ELSE '' END AS url
-          FROM documents),
+          FROM documents"""
+
+
+def _crawl_frontier_oracle() -> str:
+    from docling_spark.ops.frontier import (
+        SLOT_SALT,
+        schedule_frontier_oracle_sql,
+    )
+
+    return schedule_frontier_oracle_sql(
+        _synth_urls_sql(),
+        _hash_frac_sql(SLOT_SALT, key="host"),
+        fetchers=16,
+        delay_s=1.0,
+    )
+
+
+def _frontier_load_oracle() -> str:
+    from docling_spark.ops.frontier import SLOT_SALT, frontier_load_oracle_sql
+
+    return frontier_load_oracle_sql(
+        _synth_urls_sql(),
+        _hash_frac_sql(SLOT_SALT, key="host"),
+        fetchers=16,
+        delay_s=1.0,
+        rate_rps=10.0,
+    )
+
+
+def _urlfilter_oracle() -> str:
+    """DuckDB mirror of ops/urlfilter: same URL law, same gate order."""
+    from docling_spark.ops import urlfilter as uf
+
+    blocked = " OR ".join(
+        f"host = '{d}' OR host LIKE '%.{d}'" for d in uf.DEFAULT_BLOCKED
+    )
+    hard = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.HARD_KEYWORDS)
+    soft = " + ".join(f"len(regexp_extract_all(lu, '{k}'))" for k in uf.SOFT_KEYWORDS)
+    return f"""
+        WITH u AS ({_synth_urls_sql()}),
         f AS (
           SELECT doc_id, url, lower(url) AS lu,
                  regexp_extract(lower(url),
@@ -3553,6 +3615,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
         "url_filter": _urlfilter_oracle(),
+        "crawl_frontier": _crawl_frontier_oracle(),
+        "frontier_load": _frontier_load_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
         "para_dedup": _para_dedup_oracle(),

@@ -42,6 +42,8 @@ HEADLINE = [
     "gopher_quality",
     "c4_span_removal",
     "url_filter",
+    "crawl_frontier",
+    "frontier_load",
     "canonical_dedup",
     "link_graph",
     "hits_scores",
