@@ -1974,6 +1974,32 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (ops/dedup.containment_pairs):
+    the syndication/quotation signal — a doc living INSIDE a bigger one
+    has low pair Jaccard but ~1.0 one-sided containment. Corpus:
+    originals + exact copies (near_exact rows) + prefix halves
+    (b_in_a rows with containment_b = 1.0 exactly, since every k-gram
+    of a prefix is a k-gram of the full text)."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    copies = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    halves = docs.filter(F.col("doc_id") >= 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring(
+            F.col("text"),
+            F.lit(1),
+            F.floor(F.length("text") / 2).cast("int"),
+        ).alias("text"),
+    )
+    return dedup.containment_pairs(
+        docs.unionByName(copies).unionByName(halves), k=8, threshold=0.5
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-resolved dedup keep-list: LSH candidate pairs ∪ deterministic
     chain edges (paths of 10 docs — forces multi-round convergence) →
@@ -2320,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
+        "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
         "edit_verify": q_edit_verify,  # levenshtein precision stage
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -3935,6 +3962,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        "containment_pairs": """
+            WITH docs3 AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 100
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50
+              UNION ALL
+              SELECT doc_id + 200000,
+                     substring(text, 1,
+                               CAST(floor(length(text) / 2.0) AS INT))
+              FROM documents WHERE doc_id >= 50 AND doc_id < 100
+            ),
+            sh0 AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM docs3 d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 1000),
+            sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b, inter,
+                   sa.sz AS sz_a, sb.sz AS sz_b,
+                   inter / CAST(sa.sz AS DOUBLE) AS containment_a,
+                   inter / CAST(sb.sz AS DOUBLE) AS containment_b,
+                   inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard,
+                   CASE WHEN inter / CAST(sa.sz + sb.sz - inter AS DOUBLE)
+                             >= 0.9 THEN 'near_exact'
+                        WHEN inter / CAST(sa.sz AS DOUBLE) >= 0.9
+                          THEN 'a_in_b'
+                        WHEN inter / CAST(sb.sz AS DOUBLE) >= 0.9
+                          THEN 'b_in_a'
+                        ELSE 'partial_overlap' END AS relation
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE greatest(inter / CAST(sa.sz AS DOUBLE),
+                           inter / CAST(sb.sz AS DOUBLE)) >= 0.5
         """,
         "edit_verify": """
             WITH base AS (

@@ -34,6 +34,7 @@ HEADLINE = [
     "lsh_dup_pairs",
     "lsh_incremental",
     "edit_verify",
+    "containment_pairs",
     "dedup_clusters",
     "substr_dedup",
     "semdedup",

@@ -296,6 +296,87 @@ def simhash_candidate_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Asymmetric shingle containment — the syndication/quotation signal
+    symmetric Jaccard misses.
+
+    A news wire inside a portal page, a quoted post inside a thread, a
+    paper abstract inside an aggregator: Jaccard on the PAIR is low
+    (the container is much bigger) but containment of the smaller doc
+    is ~1.0. Deduplicating on Jaccard alone keeps both copies;
+    RefinedWeb-style pipelines therefore check ``|A∩B| / |A|`` per side
+    (Broder's containment, the ExactSubstr motivation) and route the
+    contained side to the keep/drop policy.
+
+    Same capped inverted-index shape as :func:`jaccard_pairs` (explode
+    distinct k-char shingles, drop shingles with document frequency >
+    ``max_doc_freq`` from BOTH the join and the sizes, equi-join on
+    shingle, per-pair intersection counts — never all-pairs); emits
+    per-side containment, Jaccard and a relation verdict::
+
+        near_exact       jaccard >= 0.9
+        a_in_b           containment_a >= 0.9 (A is mostly inside B)
+        b_in_a           containment_b >= 0.9
+        partial_overlap  otherwise (pair kept when either side >=
+                         ``threshold``)
+
+    Ratios are emitted UNROUNDED: both engines divide the same exact
+    integers, and round(x, 4) would reintroduce tie divergence (e.g.
+    inter/sz = 1/32 = 0.03125 rounds differently under HALF_UP vs
+    half-even).
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("sh"))
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("sh")
+    )
+    sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    c_a = F.col("inter") / F.col("sz_a")
+    c_b = F.col("inter") / F.col("sz_b")
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.greatest(c_a, c_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            jac.alias("jaccard"),
+            F.when(jac >= 0.9, "near_exact")
+            .when(c_a >= 0.9, "a_in_b")
+            .when(c_b >= 0.9, "b_in_a")
+            .otherwise("partial_overlap")
+            .alias("relation"),
+        )
+    )
+
+
 def edit_verify_pairs(
     docs: DataFrame,
     pairs: DataFrame,

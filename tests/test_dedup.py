@@ -104,3 +104,48 @@ def test_edit_verify_pairs_verdicts_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_containment_pairs_relations(spark):
+    from docling_spark.ops.dedup import containment_pairs
+
+    full = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, full),
+        (2, full),                      # exact copy -> near_exact
+        (3, full[: len(full) // 3]),    # prefix third -> contained in 1 and 2
+        (4, "totally different words nothing shared here at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(df, k=8, threshold=0.5).collect()
+    }
+    assert out[(1, 2)]["relation"] == "near_exact"
+    assert out[(1, 2)]["jaccard"] == 1.0
+    # every shingle of the prefix is a shingle of the full text: exactly 1.0
+    assert out[(1, 3)]["relation"] == "b_in_a"
+    assert out[(1, 3)]["containment_b"] == 1.0
+    assert out[(1, 3)]["jaccard"] < 0.9
+    assert out[(2, 3)]["relation"] == "b_in_a"
+    # the disjoint doc pairs with nobody
+    assert not any(4 in pair for pair in out)
+
+
+def test_containment_threshold_gate(spark):
+    from docling_spark.ops.dedup import containment_pairs
+
+    # shared suffix is a minority of each doc's DISTINCT shingles:
+    # below the 0.5 max-containment gate, above 0.1
+    tail = " shared tail words one two three"
+    pa = " ".join(f"apple{i} banana{i} cherry{i}" for i in range(8))
+    pb = " ".join(f"delta{i} echo{i} foxtrot{i}" for i in range(8))
+    rows = [(1, pa + tail), (2, pb + tail)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hi = containment_pairs(df, k=8, threshold=0.5).collect()
+    lo = containment_pairs(df, k=8, threshold=0.1).collect()
+    assert hi == [] and len(lo) == 1
+    assert lo[0]["relation"] == "partial_overlap"
