@@ -1017,6 +1017,32 @@ def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_load(urls, fetchers=16, delay_s=1.0, rate_rps=10.0)
 
 
+def q_robotstxt_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt (REP) evaluation (ops/robotstxt.py): RFC 9309 group
+    parsing (one window over host,line), group selection (specific
+    agent beats *), longest-prefix-match with allow-wins-ties, REP
+    default allowed. Rules are a hosts-sized broadcast dim against the
+    URL frontier; zero Python."""
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    robots = rt.synth_robots(spark, list(urlfilter._HOSTS))
+    urls = rt.synth_probe_urls(
+        _docs(spark, sf_dir).select("doc_id"), list(urlfilter._HOSTS)
+    )
+    return rt.robots_allowed(urls, robots, agent="doclingbot")
+
+
+def q_robotstxt_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Crawl-delay from the applicable robots.txt group —
+    the number that feeds the frontier scheduler's delay_s."""
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    robots = rt.synth_robots(spark, list(urlfilter._HOSTS))
+    return rt.crawl_delays(robots, agent="doclingbot")
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
     fragment/tracking-param/default-port/case/path normalization as one
@@ -2302,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "crawl_frontier": q_crawl_frontier,  # politeness fetch schedule
         "frontier_load": q_frontier_load,  # per-slot makespan audit
+        "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
+        "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
         "quality_classifier": q_quality_classifier,
@@ -2697,6 +2725,27 @@ def _synth_urls_sql() -> str:
                     THEN '?session=' || lpad(CAST(doc_id * 37 AS VARCHAR), 14, '0')
                     ELSE '' END AS url
           FROM documents"""
+
+
+def _robotstxt_allow_oracle() -> str:
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    hosts = list(urlfilter._HOSTS)
+    return rt.robots_allowed_oracle_sql(
+        rt.SYNTH_ROBOTS_SQL(hosts),
+        rt.SYNTH_PROBE_URLS_SQL(hosts),
+        agent="doclingbot",
+    )
+
+
+def _robotstxt_delay_oracle() -> str:
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    return rt.crawl_delays_oracle_sql(
+        rt.SYNTH_ROBOTS_SQL(list(urlfilter._HOSTS)), agent="doclingbot"
+    )
 
 
 def _crawl_frontier_oracle() -> str:
@@ -3644,6 +3693,8 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "frontier_load": _frontier_load_oracle(),
+        "robotstxt_allow": _robotstxt_allow_oracle(),
+        "robotstxt_delay": _robotstxt_delay_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
         "para_dedup": _para_dedup_oracle(),

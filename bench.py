@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_search",
     "hybrid_search",
     "robots_gate",
+    "robotstxt_allow",
     "decontam",
     "simhash",
     "token_count",
