@@ -1229,6 +1229,12 @@ def _page_meta_oracle() -> str:
     return page_meta_oracle_sql()
 
 
+def _script_mix_oracle() -> str:
+    from docling_spark.ops.scriptmix import script_mix_oracle_sql
+
+    return script_mix_oracle_sql()
+
+
 def _readability_oracle() -> str:
     from docling_spark.ops.readability import readability_oracle_sql
 
@@ -2128,6 +2134,17 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script-mix profile (ops/scriptmix.py): per-script code-
+    point counts over literal BMP ranges (engine-portable, unlike the
+    \\p{{Script}} property classes), dominant script with deterministic
+    tie-break — the script-first routing signal that runs before any
+    language model. Pure in-row JVM, zero shuffles."""
+    from docling_spark.ops.scriptmix import script_mix
+
+    return script_mix(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
@@ -2369,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,  # 4th textstats row (token/quality/lang recorded)
         "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
         "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
+        "script_mix": q_script_mix,  # Unicode script routing profile
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
@@ -4159,6 +4177,7 @@ def oracle_sql() -> dict[str, str]:
             FROM top, consts
         """,
         "readability": _readability_oracle(),
+        "script_mix": _script_mix_oracle(),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

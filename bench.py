@@ -78,6 +78,7 @@ HEADLINE = [
     "lang_id",
     "vocab_stats",
     "readability",
+    "script_mix",
     "cosine_topk",
     "events_hourly",
     "tpch_q1",

@@ -1,0 +1,127 @@
+"""Unicode script mix: the script-first routing signal of a crawl.
+
+Before any language model runs, a web pipeline routes documents by
+SCRIPT — Latin text goes to the Latin-alphabet lang-ID path, CJK to
+the CJK path, mixed-script spam (Cyrillic lookalikes inside Latin
+words, zero-information emoji floods) gets flagged. This op counts
+code points per major script with plain character-class regexes —
+identical literal ranges on both engines (Java regex and RE2 agree on
+``[א-ת]``-style ranges), so the whole signal is engine-exact — and
+reports the dominant script with its ratio.
+
+Ranges (BMP blocks, the curation-grade approximation — NOT full
+Unicode Script= property, which Java and RE2 spell differently;
+literal ranges keep the law portable):
+
+==========  =====================================
+latin       A-Z a-z À-ÿ Ā-ſ (Basic + Supplement + Extended-A)
+cyrillic    U+0400–U+04FF
+greek       U+0370–U+03FF
+arabic      U+0600–U+06FF
+hebrew      U+0590–U+05FF
+devanagari  U+0900–U+097F
+cjk         U+4E00–U+9FFF (unified ideographs)
+kana        U+3040–U+30FF (hiragana + katakana)
+hangul      U+AC00–U+D7AF (syllables)
+==========  =====================================
+
+Dominant script = argmax over the counts in the table order above
+(first wins ties — deterministic); ``dominant_ratio`` is its share of
+all script-classified characters (NULL when the document has none,
+e.g. pure digits/punctuation).
+
+Scale shape: nine ``length - length(regexp_replace(...))`` columns —
+pure in-row JVM expressions inside one projection, zero shuffles, zero
+Python, whole-stage codegen; scan-bound at 100 TB like the rest of the
+textstats family. No reference counterpart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["script_mix", "script_mix_oracle_sql", "SCRIPT_RANGES"]
+
+# (name, character-class body) — order defines the dominance tie-break
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ÿĀ-ſ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+    ("hebrew", "֐-׿"),
+    ("devanagari", "ऀ-ॿ"),
+    ("cjk", "一-鿿"),
+    ("kana", "぀-ヿ"),
+    ("hangul", "가-힯"),
+]
+
+
+def _count(cls: str):
+    return (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), f"[{cls}]", ""))
+    ).cast("bigint")
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Per-document script profile over ``(doc_id, text)``: one count
+    column per script, their sum, the dominant script and its ratio."""
+    counted = docs.select(
+        "doc_id",
+        *[_count(cls).alias(name) for name, cls in SCRIPT_RANGES],
+    )
+    total = None
+    for name, _ in SCRIPT_RANGES:
+        c = F.col(name)
+        total = c if total is None else total + c
+    counted = counted.withColumn("n_script_chars", total)
+    # argmax in SCRIPT_RANGES order: first script attaining the max wins
+    mx = F.greatest(*[F.col(name) for name, _ in SCRIPT_RANGES])
+    dom = None
+    for name, _ in reversed(SCRIPT_RANGES):
+        cond = F.when(F.col(name) == mx, F.lit(name))
+        dom = cond.otherwise(dom) if dom is not None else cond
+    has = F.col("n_script_chars") > 0
+    return counted.select(
+        "doc_id",
+        *[name for name, _ in SCRIPT_RANGES],
+        "n_script_chars",
+        F.when(has, dom).alias("dominant_script"),
+        F.when(
+            has, mx.cast("double") / F.col("n_script_chars").cast("double")
+        ).alias("dominant_ratio"),
+    )
+
+
+def script_mix_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror: same literal ranges, same argmax tie-break."""
+    counts = ",\n                 ".join(
+        f"length(text) - length(regexp_replace(text, '[{cls}]', '', 'g'))"
+        f" AS {name}"
+        for name, cls in SCRIPT_RANGES
+    )
+    total = " + ".join(name for name, _ in SCRIPT_RANGES)
+    mx = f"greatest({', '.join(name for name, _ in SCRIPT_RANGES)})"
+    dom = "CASE " + " ".join(
+        f"WHEN {name} = {mx} THEN '{name}'"
+        for name, _ in SCRIPT_RANGES
+    ) + " END"
+    cols = ", ".join(name for name, _ in SCRIPT_RANGES)
+    return f"""
+        WITH counted AS (
+          SELECT doc_id,
+                 {counts}
+          FROM {table}
+        ),
+        tot AS (
+          SELECT *, {total} AS n_script_chars FROM counted
+        )
+        SELECT doc_id, {cols}, CAST(n_script_chars AS BIGINT) AS n_script_chars,
+               CASE WHEN n_script_chars > 0 THEN {dom} END
+                 AS dominant_script,
+               CASE WHEN n_script_chars > 0
+                    THEN CAST({mx} AS DOUBLE) / n_script_chars END
+                 AS dominant_ratio
+        FROM tot
+    """
