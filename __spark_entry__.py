@@ -2051,6 +2051,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.dedup_assignments(docs, pairs.unionByName(chain))
 
 
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit (ops/cc.dedup_report): cluster-size histogram over
+    the same LSH+chain component assignment as dedup_clusters —
+    n_clusters / n_docs / n_removable per size. Two map-side-combining
+    aggs on top of the CC output; the report is what a 100 TB dedup
+    ships to its operators."""
+    from docling_spark.ops.cc import dedup_report
+
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    chain = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 99) & (F.col("doc_id") % 10 != 9))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+    )
+    return dedup_report(cc.dedup_assignments(docs, pairs.unionByName(chain)))
+
+
 def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance precision stage after LSH recall
     (ops/dedup.edit_verify_pairs): candidate pairs get a normalized
@@ -2362,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_report": q_dedup_report,  # cluster-size histogram audit
         "simhash_pairs": q_simhash_pairs,
         "phash_dedup": q_phash_dedup,
         "audio_dups": q_audio_dups,
@@ -2942,7 +2964,7 @@ def oracle_sql() -> dict[str, str]:
         "lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '</td></tr></table>' || "
         "chr(10) || '</body></html>'"
     )
-    return {
+    out = {
         "extract_pipeline": f"""
             SELECT {synth_url} AS url,
                    'success' AS status,
@@ -4288,3 +4310,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dups_lsh": _lsh_bucket_sql(n_planes=8, dim=64),
     }
+    # composed-on-composed entries that reuse another oracle's text
+    out["dedup_report"] = f"""
+        WITH asn AS ({out["dedup_clusters"]}),
+        sizes AS (
+          SELECT component, count(*) AS cluster_size
+          FROM asn GROUP BY component
+        )
+        SELECT cluster_size,
+               count(*) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+               CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+        FROM sizes GROUP BY cluster_size
+    """
+    return out

@@ -36,6 +36,7 @@ HEADLINE = [
     "edit_verify",
     "containment_pairs",
     "dedup_clusters",
+    "dedup_report",
     "substr_dedup",
     "semdedup",
     "phash_dedup",

@@ -157,3 +157,35 @@ def dedup_assignments(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .withColumn("is_canonical", F.col("component") == F.col("doc_id"))
     )
+
+
+def dedup_report(assignments: DataFrame) -> DataFrame:
+    """Cluster-size histogram of a dedup assignment — the audit row a
+    100 TB dedup run ships next to its keep-list.
+
+    Input: (doc_id, component, ...) from :func:`dedup_assignments`.
+    Output per distinct cluster size: n_clusters, n_docs they cover,
+    and n_removable = docs minus canonicals — summing n_removable over
+    the report IS the dedup's total row reduction, and a fat tail of
+    giant clusters is the signature of template spam / mirror farms.
+
+    Scale shape: two map-side-combining aggregations (component →
+    size, size → histogram); the second input is one row per cluster
+    and the output is one row per DISTINCT size (≤ a few hundred at
+    any corpus scale). Zero Python.
+    """
+    sizes = assignments.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_removable"
+            ),
+        )
+    )

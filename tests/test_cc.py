@@ -87,3 +87,25 @@ def test_lsh_pairs_compose(spark):
     rows = {r["doc_id"]: r["component"] for r in out.collect()}
     for i in range(3):
         assert rows[i + 100] == rows[i]
+
+
+def test_dedup_report_histogram(spark):
+    from docling_spark.ops.cc import dedup_assignments, dedup_report
+
+    # components: {1,2,3} (path), {10,11}, singletons 20 and 21
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    rep = {
+        r["cluster_size"]: r
+        for r in dedup_report(dedup_assignments(docs, pairs)).collect()
+    }
+    assert rep[1]["n_clusters"] == 2 and rep[1]["n_removable"] == 0
+    assert rep[2]["n_clusters"] == 1 and rep[2]["n_removable"] == 1
+    assert rep[3]["n_clusters"] == 1 and rep[3]["n_removable"] == 2
+    assert sum(r["n_docs"] for r in rep.values()) == 7
+    # total row reduction == docs - components
+    assert sum(r["n_removable"] for r in rep.values()) == 3
