@@ -1017,6 +1017,55 @@ def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_load(urls, fetchers=16, delay_s=1.0, rate_rps=10.0)
 
 
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixing arithmetic (ops/sampling.epoch_schedule):
+    per-source target tokens, repeat epochs capped at 4 (Muennighoff
+    2305.16264), explicit token deficits. Weight dim by law: weight =
+    1 + src_index % 4. One map-side agg over the corpus + broadcast
+    dim; engine-exact doubles, no rounding."""
+    from docling_spark.ops.sampling import epoch_schedule
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    weights = (
+        _docs(spark, sf_dir)
+        .select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.lit(1.0)
+                + (
+                    F.substring(F.col("source"), 4, 10).cast("long") % 4
+                ).cast("double")
+            ).alias("weight"),
+        )
+    )
+    return epoch_schedule(docs, weights, token_budget=500_000.0, max_epochs=4.0)
+
+
+def q_domain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head/middle/tail domain composition (ops/curate.domain_buckets):
+    coverage-ranked count LEVELS (the only window runs over distinct
+    count values — thousands of rows at any scale; never a per-domain
+    sort), level buckets broadcast back by count. Zipf-shaped synth
+    corpus: 3 giant portals + a long small-host tail exercises all
+    three buckets."""
+    from docling_spark.ops.curate import domain_buckets
+
+    hid = F.when(F.col("doc_id") % 97 < 60, F.col("doc_id") % 3).otherwise(
+        F.col("doc_id") % 211
+    )
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("https://h"),
+            hid.cast("string"),
+            F.lit(".test/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return domain_buckets(urls, head_frac=0.5, mid_frac=0.75)
+
+
 def q_robotstxt_allow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt (REP) evaluation (ops/robotstxt.py): RFC 9309 group
     parsing (one window over host,line), group selection (specific
@@ -2366,6 +2415,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "crawl_frontier": q_crawl_frontier,  # politeness fetch schedule
         "frontier_load": q_frontier_load,  # per-slot makespan audit
+        "epoch_schedule": q_epoch_schedule,  # token-budget repeat/deficit plan
+        "domain_buckets": q_domain_buckets,  # head/middle/tail composition
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
         "canonical_dedup": q_canonical_dedup,
@@ -2765,6 +2816,18 @@ def _synth_urls_sql() -> str:
                     THEN '?session=' || lpad(CAST(doc_id * 37 AS VARCHAR), 14, '0')
                     ELSE '' END AS url
           FROM documents"""
+
+
+def _domain_buckets_oracle() -> str:
+    from docling_spark.ops.curate import domain_buckets_oracle_sql
+
+    urls = """
+        SELECT 'https://h' ||
+               CAST(CASE WHEN doc_id % 97 < 60 THEN doc_id % 3
+                         ELSE doc_id % 211 END AS VARCHAR) ||
+               '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents"""
+    return domain_buckets_oracle_sql(urls, head_frac=0.5, mid_frac=0.75)
 
 
 def _robotstxt_allow_oracle() -> str:
@@ -3733,6 +3796,37 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _urlfilter_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "frontier_load": _frontier_load_oracle(),
+        "epoch_schedule": """
+            WITH w AS (
+              SELECT source,
+                     1.0 + CAST(CAST(substring(source, 4, 10) AS BIGINT) % 4
+                                AS DOUBLE) AS weight
+              FROM (SELECT DISTINCT source FROM documents)
+            ),
+            ws AS (SELECT sum(weight) AS wsum FROM w),
+            dim AS (SELECT source, weight / wsum AS weight_norm FROM w, ws),
+            supply AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT s.source, s.n_docs, s.n_tokens, d.weight_norm,
+                   500000.0 * d.weight_norm AS target_tokens,
+                   least(500000.0 * d.weight_norm
+                           / CAST(s.n_tokens AS DOUBLE), 4.0) AS epochs,
+                   CAST(s.n_tokens AS DOUBLE)
+                     * least(500000.0 * d.weight_norm
+                               / CAST(s.n_tokens AS DOUBLE), 4.0)
+                     AS tokens_served,
+                   greatest(500000.0 * d.weight_norm
+                     - CAST(s.n_tokens AS DOUBLE)
+                       * least(500000.0 * d.weight_norm
+                                 / CAST(s.n_tokens AS DOUBLE), 4.0),
+                     0.0) AS token_deficit
+            FROM supply s JOIN dim d ON s.source = d.source
+        """,
+        "domain_buckets": _domain_buckets_oracle(),
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),

@@ -64,6 +64,8 @@ HEADLINE = [
     "lang_rebalance",
     "curate_web",
     "domain_reputation",
+    "domain_buckets",
+    "epoch_schedule",
     "pipeline_e2e",
     "pipeline_incremental",
     "para_dedup",

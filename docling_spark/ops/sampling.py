@@ -148,3 +148,58 @@ def rebalance_temperature(
         .filter(hash_frac(F.col(key_col), salt) < F.col("rate"))
         .withColumn("weight", F.lit(1.0) / F.col("rate"))
     )
+
+
+def epoch_schedule(
+    docs: DataFrame,
+    weights: DataFrame,
+    token_budget: float,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Token-budget mixing arithmetic: per-source epochs and deficits.
+
+    The planning step between a target mix and an actual training run
+    (the Chinchilla/Muennighoff accounting): given per-source token
+    supply and target mix ``weights``, a source owes
+    ``token_budget * weight / Σweights`` tokens; it delivers them by
+    repeating its data ``epochs = target / supply`` times, CAPPED at
+    ``max_epochs`` (past ~4 epochs repeated data stops helping —
+    Muennighoff et al. 2305.16264), and the remainder is an explicit
+    ``token_deficit`` the operator must cover by re-weighting or new
+    data — not a silent under-serve.
+
+    ``docs``: (source, text); ``weights``: (source, weight) dim,
+    normalized here. Output per source: n_docs, n_tokens, weight_norm,
+    target_tokens, epochs (capped, double), tokens_served,
+    token_deficit (0.0 when supply suffices).
+
+    Scale shape: one map-side-combining agg over the corpus (token
+    counts by source); the weight dim and its normalizing sum are
+    1-row/broadcast joins. All arithmetic in fixed operand order —
+    engine-exact doubles, no rounding (HALF_UP/half-even ties).
+    """
+    supply = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    wsum = weights.agg(F.sum("weight").alias("wsum"))
+    dim = weights.crossJoin(F.broadcast(wsum)).select(
+        "source", (F.col("weight") / F.col("wsum")).alias("weight_norm")
+    )
+    target = F.lit(float(token_budget)) * F.col("weight_norm")
+    epochs_raw = target / F.col("n_tokens").cast("double")
+    epochs = F.least(epochs_raw, F.lit(float(max_epochs)))
+    served = F.col("n_tokens").cast("double") * epochs
+    return (
+        supply.join(F.broadcast(dim), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("weight_norm"),
+            target.alias("target_tokens"),
+            epochs.alias("epochs"),
+            served.alias("tokens_served"),
+            F.greatest(target - served, F.lit(0.0)).alias("token_deficit"),
+        )
+    )

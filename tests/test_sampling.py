@@ -111,3 +111,32 @@ def test_rebalance_temperature_flattens_and_is_stable(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_epoch_schedule_caps_and_deficits(spark):
+    from docling_spark.ops.sampling import epoch_schedule
+
+    # scarce: 10 tokens supply; rich: 1000 tokens supply
+    docs = spark.createDataFrame(
+        [("scarce", "w " * 9 + "w"), ("rich", "w " * 999 + "w")],
+        "source string, text string",
+    )
+    weights = spark.createDataFrame(
+        [("scarce", 3.0), ("rich", 1.0)], "source string, weight double"
+    )
+    got = {
+        r["source"]: r
+        for r in epoch_schedule(
+            docs, weights, token_budget=400.0, max_epochs=4.0
+        ).collect()
+    }
+    s, r = got["scarce"], got["rich"]
+    assert s["n_tokens"] == 10 and r["n_tokens"] == 1000
+    assert s["weight_norm"] == 0.75 and r["weight_norm"] == 0.25
+    assert s["target_tokens"] == 300.0 and r["target_tokens"] == 100.0
+    # scarce would need 30 epochs -> capped at 4, deficit explicit
+    assert s["epochs"] == 4.0
+    assert s["tokens_served"] == 40.0 and s["token_deficit"] == 260.0
+    # rich under-full: fractional epochs, zero deficit
+    assert r["epochs"] == 0.1
+    assert r["tokens_served"] == 100.0 and r["token_deficit"] == 0.0
