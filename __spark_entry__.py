@@ -1278,6 +1278,12 @@ def _page_meta_oracle() -> str:
     return page_meta_oracle_sql()
 
 
+def _code_switch_oracle() -> str:
+    from docling_spark.ops.scriptmix import line_script_switches_oracle_sql
+
+    return line_script_switches_oracle_sql()
+
+
 def _script_mix_oracle() -> str:
     from docling_spark.ops.scriptmix import script_mix_oracle_sql
 
@@ -2215,6 +2221,16 @@ def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_mix(_docs(spark, sf_dir))
 
 
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-line script alternation (ops/scriptmix.line_script_switches):
+    lines classified by the same literal-range dominant law; adjacent
+    classified-line changes counted in-row — the code-switching /
+    script-laundering flag. Zero shuffles, zero Python."""
+    from docling_spark.ops.scriptmix import line_script_switches
+
+    return line_script_switches(_docs(spark, sf_dir))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.cosine_topk(_emb(spark, sf_dir), query_id=0, k=5)
 
@@ -2460,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
         "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
         "script_mix": q_script_mix,  # Unicode script routing profile
+        "code_switch": q_code_switch,  # per-line script alternation
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
@@ -4294,6 +4311,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "readability": _readability_oracle(),
         "script_mix": _script_mix_oracle(),
+        "code_switch": _code_switch_oracle(),
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

@@ -82,6 +82,7 @@ HEADLINE = [
     "vocab_stats",
     "readability",
     "script_mix",
+    "code_switch",
     "cosine_topk",
     "events_hourly",
     "tpch_q1",

@@ -125,3 +125,123 @@ def script_mix_oracle_sql(table: str = "documents") -> str:
                  AS dominant_ratio
         FROM tot
     """
+
+
+def _line_dominant(line):
+    """Dominant-script expression for one line Column (NULL if the line
+    has no script-classified characters) — same ranges/tie-break as
+    :func:`script_mix`."""
+    counts = {
+        name: F.length(line) - F.length(F.regexp_replace(line, f"[{cls}]", ""))
+        for name, cls in SCRIPT_RANGES
+    }
+    mx = F.greatest(*counts.values())
+    dom = None
+    for name, _ in reversed(SCRIPT_RANGES):
+        cond = F.when(counts[name] == mx, F.lit(name))
+        dom = cond.otherwise(dom) if dom is not None else cond
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return F.when(total > 0, dom)
+
+
+def line_script_switches(docs: DataFrame) -> DataFrame:
+    """Code-switching detection: per-LINE dominant script and the count
+    of adjacent-line script changes.
+
+    A document whose lines alternate scripts is either genuinely
+    multilingual (parallel text, forums — valuable, route to bitext
+    mining) or laundered spam (keyword blocks in a second script) —
+    either way it must not flow through the single-language pipeline
+    that document-level `script_mix` would route it to. Lines with no
+    script-classified characters (separators, digit rows) are
+    transparent: they neither carry a script nor break a run.
+
+    Output: doc_id, n_lines (non-blank), n_classified,
+    n_switches (adjacent classified-line script changes),
+    is_code_switched (n_switches >= 1).
+
+    Scale shape: one in-row expression tree — split, per-line dominant
+    via the same literal ranges, adjacent-pair comparison over the
+    classified sequence. Zero shuffles, zero Python.
+    """
+    lines = F.filter(
+        F.split(F.col("text"), r"\n"),
+        lambda l: F.length(F.trim(l)) > 0,
+    )
+    doms = F.filter(
+        F.transform(lines, _line_dominant), lambda d: d.isNotNull()
+    )
+    n = F.size(doms)
+    switches = F.when(
+        n >= 2,
+        F.size(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), F.greatest(n, F.lit(2))),
+                    lambda i: F.element_at(doms, i)
+                    != F.element_at(doms, i - 1),
+                ),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        n.alias("n_classified"),
+        switches.cast("bigint").alias("n_switches"),
+        (switches >= 1).alias("is_code_switched"),
+    )
+
+
+def line_script_switches_oracle_sql(table: str = "documents") -> str:
+    """DuckDB mirror of :func:`line_script_switches`."""
+    counts = {
+        name: f"(length(l) - length(regexp_replace(l, '[{cls}]', '', 'g')))"
+        for name, cls in SCRIPT_RANGES
+    }
+    mx = f"greatest({', '.join(counts.values())})"
+    dom = (
+        "CASE WHEN ("
+        + " + ".join(counts.values())
+        + ") > 0 THEN CASE "
+        + " ".join(
+            f"WHEN {expr} = {mx} THEN '{name}'"
+            for name, expr in counts.items()
+        )
+        + " END END"
+    )
+    return f"""
+        WITH split AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             l -> length(trim(l)) > 0) AS lines
+          FROM {table}
+        ),
+        clsf AS (
+          SELECT doc_id, len(lines) AS n_lines,
+                 list_filter(list_transform(lines, l -> {dom}),
+                             d -> d IS NOT NULL) AS doms
+          FROM split
+        )
+        SELECT doc_id,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(len(doms) AS BIGINT) AS n_classified,
+               CAST(CASE WHEN len(doms) >= 2 THEN
+                 len(list_filter(list_transform(
+                       range(2, len(doms) + 1),
+                       i -> list_extract(doms, i)
+                            != list_extract(doms, i - 1)),
+                     x -> x))
+               ELSE 0 END AS BIGINT) AS n_switches,
+               (CASE WHEN len(doms) >= 2 THEN
+                 len(list_filter(list_transform(
+                       range(2, len(doms) + 1),
+                       i -> list_extract(doms, i)
+                            != list_extract(doms, i - 1)),
+                     x -> x))
+               ELSE 0 END) >= 1 AS is_code_switched
+        FROM clsf
+    """

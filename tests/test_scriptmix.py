@@ -106,3 +106,54 @@ def test_cross_engine_duckdb(spark):
     assert list(got["dominant_script"]) == list(exp["dominant_script"])
     for a, b in zip(got["dominant_ratio"], exp["dominant_ratio"]):
         assert (a != a and b != b) or a == b  # NaN-safe exact compare
+
+
+def test_line_script_switches(spark):
+    from docling_spark.ops.scriptmix import line_script_switches
+
+    texts = [
+        (0, "hello world\nПривет мир\nhello again\nПривет опять"),  # 3 switches
+        (1, "hello\n\n   \nworld"),  # blanks transparent, same script
+        (2, "hello\n12345\nПривет"),  # digit row transparent: 1 switch
+        (3, "только русский текст"),  # single line
+        (4, ""),  # empty
+        (5, "123\n456"),  # nothing classified
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in line_script_switches(df).collect()}
+    assert got[0]["n_switches"] == 3 and got[0]["is_code_switched"]
+    assert got[1]["n_lines"] == 2 and got[1]["n_switches"] == 0
+    assert got[2]["n_classified"] == 2 and got[2]["n_switches"] == 1
+    assert got[3]["n_switches"] == 0 and not got[3]["is_code_switched"]
+    assert got[4]["n_lines"] == 0 and got[4]["n_switches"] == 0
+    assert got[5]["n_classified"] == 0 and got[5]["n_switches"] == 0
+
+
+def test_line_script_switches_cross_engine(spark):
+    from docling_spark.ops.scriptmix import (
+        line_script_switches,
+        line_script_switches_oracle_sql,
+    )
+
+    texts = [
+        (0, "latin line\nПривет\nγειά\nlatin\n你好\n--\nשלום"),
+        (1, "a\nb\nП\na\nП\na"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = (
+        line_script_switches(df)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", texts)
+    exp = (
+        con.execute(line_script_switches_oracle_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for c in ("n_lines", "n_classified", "n_switches", "is_code_switched"):
+        assert list(got[c]) == list(exp[c]), c
