@@ -1092,6 +1092,17 @@ def q_robotstxt_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.crawl_delays(robots, agent="doclingbot")
 
 
+def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (ops/sitemap.py): urlset leaves AND sitemapindex
+    files into typed entries (loc entity-unescaped, lastmod date
+    try-cast, priority double) — the discovery feed of the frontier.
+    One regexp_extract_all + posexplode per blob, zero Python."""
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.sitemap import parse_sitemaps, synth_sitemaps
+
+    return parse_sitemaps(synth_sitemaps(spark, list(urlfilter._HOSTS)))
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
     fragment/tracking-param/default-port/case/path normalization as one
@@ -2435,6 +2446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_buckets": q_domain_buckets,  # head/middle/tail composition
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
+        "sitemap_entries": q_sitemap_entries,  # discovery feed parse
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
         "quality_classifier": q_quality_classifier,
@@ -2845,6 +2857,18 @@ def _domain_buckets_oracle() -> str:
                '.test/p/' || CAST(doc_id AS VARCHAR) AS url
         FROM documents"""
     return domain_buckets_oracle_sql(urls, head_frac=0.5, mid_frac=0.75)
+
+
+def _sitemap_entries_oracle() -> str:
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.sitemap import (
+        SYNTH_SITEMAPS_SQL,
+        parse_sitemaps_oracle_sql,
+    )
+
+    return parse_sitemaps_oracle_sql(
+        SYNTH_SITEMAPS_SQL(list(urlfilter._HOSTS))
+    )
 
 
 def _robotstxt_allow_oracle() -> str:
@@ -3846,6 +3870,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_buckets": _domain_buckets_oracle(),
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
+        "sitemap_entries": _sitemap_entries_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
         "para_dedup": _para_dedup_oracle(),

@@ -74,6 +74,7 @@ HEADLINE = [
     "hybrid_search",
     "robots_gate",
     "robotstxt_allow",
+    "sitemap_entries",
     "decontam",
     "simhash",
     "token_count",

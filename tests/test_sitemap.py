@@ -1,0 +1,90 @@
+"""Sitemap parsing (ops/sitemap): field extraction, entity unescape,
+index files, malformed-field tolerance, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+
+from docling_spark.ops.sitemap import parse_sitemaps
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _parse(spark, xml, host="h.test"):
+    df = spark.createDataFrame(
+        [(host, xml)], "host string, sitemap_xml string"
+    )
+    return parse_sitemaps(df).collect()
+
+
+def test_urlset_fields(spark):
+    xml = (
+        "<urlset>"
+        "<url><loc> https://h.test/a?x=1&amp;y=2 </loc>"
+        "<lastmod>2026-03-15T10:00:00+00:00</lastmod>"
+        "<changefreq>daily</changefreq><priority>0.8</priority></url>"
+        "<url><loc>https://h.test/b</loc></url>"
+        "</urlset>"
+    )
+    rows = {r["entry_idx"]: r for r in _parse(spark, xml)}
+    a, b = rows[0], rows[1]
+    assert a["loc"] == "https://h.test/a?x=1&y=2"  # trimmed + unescaped
+    assert a["lastmod"] == "2026-03-15T10:00:00+00:00"
+    assert a["lastmod_date"] == "2026-03-15"
+    assert a["changefreq"] == "daily" and a["priority"] == 0.8
+    assert a["kind"] == "url"
+    assert b["lastmod"] is None and b["lastmod_date"] is None
+    assert b["changefreq"] is None and b["priority"] is None
+
+
+def test_sitemapindex_and_empty_loc(spark):
+    xml = (
+        "<sitemapindex>"
+        "<sitemap><loc>https://h.test/s1.xml</loc></sitemap>"
+        "<sitemap><loc></loc></sitemap>"
+        "<sitemap><loc>https://h.test/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    rows = _parse(spark, xml)
+    assert [r["kind"] for r in rows] == ["sitemap", "sitemap"]
+    # the empty-loc entry is dropped but keeps its slot in entry_idx
+    assert sorted(r["entry_idx"] for r in rows) == [0, 2]
+
+
+def test_malformed_fields_null_not_error(spark):
+    xml = (
+        "<urlset><url><loc>https://h.test/x</loc>"
+        "<lastmod>next tuesday</lastmod>"
+        "<priority>high</priority></url></urlset>"
+    )
+    (r,) = _parse(spark, xml)
+    assert r["lastmod"] == "next tuesday"  # raw claim preserved
+    assert r["lastmod_date"] is None  # but the typed view is NULL
+    assert r["priority"] is None
+
+
+def test_double_escaped_entity_not_over_decoded(spark):
+    xml = "<urlset><url><loc>https://h.test/?q=&amp;lt;tag&amp;gt;</loc></url></urlset>"
+    (r,) = _parse(spark, xml)
+    # &amp;lt; must decode to &lt; (one level), never to <
+    assert r["loc"] == "https://h.test/?q=&lt;tag&gt;"
+
+
+def test_plan_no_shuffle_no_python(spark):
+    df = spark.createDataFrame(
+        [("h.test", "<urlset></urlset>")], "host string, sitemap_xml string"
+    )
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan
