@@ -1092,6 +1092,17 @@ def q_robotstxt_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.crawl_delays(robots, agent="doclingbot")
 
 
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET conversion-record export (ops/wet.py): the Common Crawl
+    interchange format as a pure string projection — CRLF headers,
+    deterministic urn:md5 record id, byte-exact Content-Length. Zero
+    shuffles, zero Python; the record column rides the normal chunked
+    sink."""
+    from docling_spark.ops.wet import wet_records
+
+    return wet_records(synth_pages(spark, sf_dir).select("url", "warc_ts", "text"))
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing (ops/sitemap.py): urlset leaves AND sitemapindex
     files into typed entries (loc entity-unescaped, lastmod date
@@ -2221,6 +2232,14 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix
+    (ops/textstats.lang_confusion): in-row stopword-ratio prediction,
+    one map-side cell agg, broadcast per-lang totals — the routing
+    audit over EITHER label."""
+    return textstats.lang_confusion(_docs(spark, sf_dir))
+
+
 def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode script-mix profile (ops/scriptmix.py): per-script code-
     point counts over literal BMP ranges (engine-portable, unlike the
@@ -2447,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
+        "wet_export": q_wet_export,  # WET conversion-record sink law
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
         "quality_classifier": q_quality_classifier,
@@ -2489,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
         "script_mix": q_script_mix,  # Unicode script routing profile
         "code_switch": q_code_switch,  # per-line script alternation
+        "lang_confusion": q_lang_confusion,  # declared-vs-detected audit
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
         "size_limits": q_size_limits,  # one dispatch branch; mixed_dispatch records family
@@ -2859,6 +2880,18 @@ def _domain_buckets_oracle() -> str:
     return domain_buckets_oracle_sql(urls, head_frac=0.5, mid_frac=0.75)
 
 
+def _wet_export_oracle() -> str:
+    from docling_spark.ops.wet import wet_records_oracle_sql
+
+    pages = """
+        SELECT 'https://synth.test/doc/' || doc_id || '.html' AS url,
+               TIMESTAMP '2024-01-01 00:00:00'
+                 + doc_id * INTERVAL 1 SECOND AS warc_ts,
+               text
+        FROM documents"""
+    return wet_records_oracle_sql(pages)
+
+
 def _sitemap_entries_oracle() -> str:
     from docling_spark.ops import urlfilter
     from docling_spark.ops.sitemap import (
@@ -3046,6 +3079,24 @@ _STOP_HITS = " + ".join(
     " / {n} AS BIGINT)".format(w=w, n=len(w) + 2)
     for w in textstats.STOPWORDS
 )
+
+_LANG_CONFUSION_SQL = f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN round(CAST({_STOP_HITS} AS DOUBLE)
+                  / len(string_split(text, ' ')), 4) >= 0.05
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM documents
+    ),
+    cell AS (
+      SELECT lang, lang_pred, count(*) AS n
+      FROM pred GROUP BY lang, lang_pred
+    ),
+    tot AS (SELECT lang, sum(n) AS lang_total FROM cell GROUP BY lang)
+    SELECT c.lang, c.lang_pred, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.lang_total AS DOUBLE) AS rate
+    FROM cell c JOIN tot t ON c.lang = t.lang
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3871,6 +3922,7 @@ def oracle_sql() -> dict[str, str]:
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
+        "wet_export": _wet_export_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
         "para_dedup": _para_dedup_oracle(),
@@ -4337,6 +4389,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _readability_oracle(),
         "script_mix": _script_mix_oracle(),
         "code_switch": _code_switch_oracle(),
+        "lang_confusion": f"""\n{_LANG_CONFUSION_SQL}\n""",
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
             SELECT vec_id,

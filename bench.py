@@ -75,11 +75,13 @@ HEADLINE = [
     "robots_gate",
     "robotstxt_allow",
     "sitemap_entries",
+    "wet_export",
     "decontam",
     "simhash",
     "token_count",
     "quality_score",
     "lang_id",
+    "lang_confusion",
     "vocab_stats",
     "readability",
     "script_mix",

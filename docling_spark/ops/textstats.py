@@ -109,3 +109,39 @@ def vocab_topk(docs: DataFrame, k: int = 50) -> DataFrame:
         .crossJoin(F.broadcast(consts))
         .select("rank", "tok", "tf", "total_tokens", "vocab_size")
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the routing
+    audit a multilingual crawl runs before trusting EITHER label: a
+    crawl whose declared `lang` disagrees with detection en masse has
+    a metadata problem (wrong <html lang>, mislabeled source) or a
+    detector gap; per-language disagreement rates say which shard to
+    re-route. Prediction uses the same stopword-ratio law as
+    :func:`lang_id` (>= 0.05 → 'en').
+
+    Output per (lang, lang_pred) cell: n and the within-lang rate.
+    Scale shape: in-row prediction, one (lang, pred) agg with map-side
+    combine, per-lang totals off the tiny cell frame via broadcast.
+    """
+    hits = None
+    for w in STOPWORDS:
+        occ = _occurrences(F.col("text"), w)
+        hits = occ if hits is None else hits + occ
+    n_toks = F.size(F.split(F.col("text"), " "))
+    ratio = F.round(hits.cast("double") / n_toks, 4)
+    pred = F.when(ratio >= 0.05, "en").otherwise("unknown")
+    cell = (
+        docs.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = cell.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    return cell.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "lang_pred",
+        "n",
+        (F.col("n").cast("double") / F.col("lang_total").cast("double")).alias(
+            "rate"
+        ),
+    )

@@ -4,6 +4,7 @@ index files, malformed-field tolerance, plan shape."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from docling_spark.ops.sitemap import parse_sitemaps
 
@@ -88,3 +89,48 @@ def test_plan_no_shuffle_no_python(spark):
     plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_wet_record_shape(spark):
+    import hashlib
+
+    from docling_spark.ops.wet import wet_records
+
+    df = spark.createDataFrame(
+        [("https://h.test/a", "2024-01-01 00:00:05", "héllo")],
+        "url string, warc_ts string, text string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    (r,) = wet_records(df).collect()
+    rec = r["wet_record"]
+    head, _, body = rec.partition("\r\n\r\n")
+    lines = head.split("\r\n")
+    assert lines[0] == "WARC/1.0"
+    assert "WARC-Type: conversion" in lines
+    assert "WARC-Target-URI: https://h.test/a" in lines
+    assert "WARC-Date: 2024-01-01T00:00:05Z" in lines
+    # Content-Length counts BYTES (é is 2 in UTF-8): 6, not 5
+    assert "Content-Length: 6" in lines
+    rid = hashlib.md5(b"https://h.test/a@2024-01-01T00:00:05Z").hexdigest()
+    assert f"WARC-Record-ID: <urn:md5:{rid}>" in lines
+    assert body == "héllo\n\n"
+    assert r["record_bytes"] == len(rec.encode("utf-8"))
+
+
+def test_lang_confusion_rates(spark):
+    from docling_spark.ops.textstats import lang_confusion
+
+    rows = [
+        (0, "en", "the cat and the dog of a house in a town"),
+        (1, "en", "zzz qqq www"),  # declared en, detected unknown
+        (2, "de", "kein englisches stoppwort hier"),
+        (3, "de", "noch ein satz ohne treffer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["lang"], r["lang_pred"]): r for r in lang_confusion(df).collect()
+    }
+    assert got[("en", "en")]["n"] == 1 and got[("en", "en")]["rate"] == 0.5
+    assert got[("en", "unknown")]["rate"] == 0.5
+    assert got[("de", "unknown")]["n"] == 2
+    assert got[("de", "unknown")]["rate"] == 1.0
+    assert ("de", "en") not in got
