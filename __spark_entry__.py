@@ -1306,6 +1306,20 @@ def _code_switch_oracle() -> str:
     return line_script_switches_oracle_sql()
 
 
+def _lexicon_gate_oracle() -> str:
+    from docling_spark.ops.webtext import lexicon_gate_oracle_sql
+
+    docs = """
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 37 = 0 THEN ' casino bonus' ELSE '' END
+               || CASE WHEN doc_id % 74 = 0 THEN ' xxx' ELSE '' END
+               || CASE WHEN doc_id % 41 = 0 THEN ' maxxximum' ELSE '' END
+                 AS text
+        FROM documents"""
+    return lexicon_gate_oracle_sql(docs)
+
+
 def _script_mix_oracle() -> str:
     from docling_spark.ops.scriptmix import script_mix_oracle_sql
 
@@ -2232,6 +2246,26 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs(spark, sf_dir))
 
 
+def q_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 bad-words page gate (ops/webtext.lexicon_gate): whole-word
+    blocklist hits via one in-row alternation regex (the lexicon is a
+    closure constant, not a join). Corpus seeds deterministic hits
+    (doc_id % 37 == 0 gets a casino suffix; % 74 == 0 also an xxx
+    token) plus a Scunthorpe-style 'maxxximum' that must NOT hit."""
+    from docling_spark.ops.webtext import lexicon_gate
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 37 == 0, " casino bonus").otherwise(""),
+            F.when(F.col("doc_id") % 74 == 0, " xxx").otherwise(""),
+            F.when(F.col("doc_id") % 41 == 0, " maxxximum").otherwise(""),
+        ).alias("text"),
+    )
+    return lexicon_gate(docs)
+
+
 def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared-vs-detected language confusion matrix
     (ops/textstats.lang_confusion): in-row stopword-ratio prediction,
@@ -2509,6 +2543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
         "script_mix": q_script_mix,  # Unicode script routing profile
         "code_switch": q_code_switch,  # per-line script alternation
+        "lexicon_gate": q_lexicon_gate,  # C4 bad-words page gate
         "lang_confusion": q_lang_confusion,  # declared-vs-detected audit
         "doctags_export": q_doctags_export,  # byte-parity via doctags goldens (pytest)
         "pdf_chunks": q_pdf_chunks,  # chunker grain of chunk_spans x pdf_struct_spans
@@ -4389,6 +4424,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": _readability_oracle(),
         "script_mix": _script_mix_oracle(),
         "code_switch": _code_switch_oracle(),
+        "lexicon_gate": _lexicon_gate_oracle(),
         "lang_confusion": f"""\n{_LANG_CONFUSION_SQL}\n""",
         "cosine_topk": """
             WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

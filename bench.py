@@ -43,6 +43,7 @@ HEADLINE = [
     "audio_dups",
     "gopher_quality",
     "c4_span_removal",
+    "lexicon_gate",
     "url_filter",
     "crawl_frontier",
     "frontier_load",

@@ -545,3 +545,58 @@ SIGNALS_ORACLE_SQL = (
     + _rules_case_sql()
     + ") = 'keep' AS keep FROM sig"
 )
+
+
+# ------------------------------------------------------------ lexicon gate
+# C4 §2.2's remaining page gate: reject pages containing any word from a
+# blocklist ("Dirty, Naughty, Obscene..." in the paper; the list here is
+# a small neutral default — the OPERATOR is the mechanism, the deployed
+# lexicon is configuration, like ops/urlfilter's keyword lists).
+DEFAULT_LEXICON = ["casino", "viagra", "xxx", "jackpot"]
+
+
+def lexicon_gate(
+    docs: DataFrame,
+    words: "list[str] | None" = None,
+    col: str = "text",
+) -> DataFrame:
+    """Word-boundary blocklist page gate (the C4 bad-words filter).
+
+    Counts case-insensitive whole-word hits of ``words`` in ``col``;
+    any hit rejects the page. Whole-word matters: the classic
+    false-positive class ("Essex", "Scunthorpe") comes from substring
+    matching — ``\\b`` anchors make "xxx" match the token, not
+    "maxxx...". One alternation regex, evaluated once per row.
+
+    Output: (doc_id, lex_hits, keep). Scale shape: a single in-row
+    ``regexp_extract_all`` count — zero shuffles, zero Python; the
+    compiled alternation is a closure constant, not a join (a lexicon
+    is KBs; a broadcast join would be slower than codegen).
+    """
+    ws = words if words is not None else DEFAULT_LEXICON
+    pat = r"\b(" + "|".join(ws) + r")\b"
+    hits = F.size(
+        F.regexp_extract_all(F.lower(F.col(col)), F.lit(pat), 0)
+    ).cast("bigint")
+    return docs.select(
+        "doc_id",
+        hits.alias("lex_hits"),
+        (hits == 0).alias("keep"),
+    )
+
+
+def lexicon_gate_oracle_sql(
+    docs_cte: str, words: "list[str] | None" = None, col: str = "text"
+) -> str:
+    """DuckDB mirror of :func:`lexicon_gate` over a (doc_id, {col})
+    CTE body."""
+    ws = words if words is not None else DEFAULT_LEXICON
+    pat = r"\b(" + "|".join(ws) + r")\b"
+    return f"""
+        WITH docs AS ({docs_cte})
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower({col}), '{pat}'))
+                    AS BIGINT) AS lex_hits,
+               len(regexp_extract_all(lower({col}), '{pat}')) = 0 AS keep
+        FROM docs
+    """

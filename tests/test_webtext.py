@@ -124,3 +124,22 @@ def test_plan_scan_project_only(spark):
     assert "Join" not in plan
     for py in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert py not in plan
+
+
+def test_lexicon_gate_whole_word(spark):
+    from docling_spark.ops.webtext import lexicon_gate
+
+    rows = [
+        (0, "a clean page about cooking"),
+        (1, "win at the casino tonight"),
+        (2, "CASINO CASINO casino"),  # case-folded, 3 hits
+        (3, "maxxximum effort"),  # substring only: must NOT hit 'xxx'
+        (4, "xxx"),  # exact token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lexicon_gate(df).collect()}
+    assert got[0]["keep"] and got[0]["lex_hits"] == 0
+    assert not got[1]["keep"] and got[1]["lex_hits"] == 1
+    assert got[2]["lex_hits"] == 3
+    assert got[3]["keep"], "Scunthorpe-style substring must not match"
+    assert not got[4]["keep"]
