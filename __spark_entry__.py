@@ -1114,6 +1114,25 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemaps(synth_sitemaps(spark, list(urlfilter._HOSTS)))
 
 
+def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl layer in ONE plan (ops/frontier.crawl_plan):
+    robots.txt REP gate → per-host Crawl-delay → host-sticky politeness
+    schedule. Rule/delay tables are hosts-sized broadcast dims; the one
+    frontier-sized exchange is the irreducible per-host sequence
+    window. Oracle composes the robots_allowed and crawl_delays oracle
+    texts as CTEs."""
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.frontier import crawl_plan
+
+    hosts = list(urlfilter._HOSTS)
+    robots = rt.synth_robots(spark, hosts)
+    urls = rt.synth_probe_urls(_docs(spark, sf_dir).select("doc_id"), hosts)
+    return crawl_plan(
+        urls, robots, agent="doclingbot", fetchers=16, default_delay_s=1.0
+    )
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
     fragment/tracking-param/default-port/case/path normalization as one
@@ -2499,6 +2518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_buckets": q_domain_buckets,  # head/middle/tail composition
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
+        "crawl_plan": q_crawl_plan,  # composed robots->delay->schedule
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
         "wet_export": q_wet_export,  # WET conversion-record sink law
         "canonical_dedup": q_canonical_dedup,
@@ -2957,6 +2977,18 @@ def _robotstxt_delay_oracle() -> str:
 
     return rt.crawl_delays_oracle_sql(
         rt.SYNTH_ROBOTS_SQL(list(urlfilter._HOSTS)), agent="doclingbot"
+    )
+
+
+def _crawl_plan_oracle() -> str:
+    from docling_spark.ops.frontier import SLOT_SALT, crawl_plan_oracle_sql
+
+    return crawl_plan_oracle_sql(
+        _robotstxt_allow_oracle(),
+        _robotstxt_delay_oracle(),
+        _hash_frac_sql(SLOT_SALT, key="a.host"),
+        fetchers=16,
+        default_delay_s=1.0,
     )
 
 
@@ -3956,6 +3988,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_buckets": _domain_buckets_oracle(),
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
+        "crawl_plan": _crawl_plan_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
         "wet_export": _wet_export_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),

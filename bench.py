@@ -46,6 +46,7 @@ HEADLINE = [
     "lexicon_gate",
     "url_filter",
     "crawl_frontier",
+    "crawl_plan",
     "frontier_load",
     "canonical_dedup",
     "link_graph",

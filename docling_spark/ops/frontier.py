@@ -195,3 +195,83 @@ def frontier_load_oracle_sql(
                         CAST(n_urls AS DOUBLE) / {rate_rps!r}) AS makespan_s
         FROM per_slot
     """
+
+
+def crawl_plan(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "doclingbot",
+    fetchers: int = 64,
+    default_delay_s: float = 1.0,
+) -> DataFrame:
+    """The composed crawl layer in ONE plan: robots.txt gate →
+    per-host Crawl-delay → politeness schedule.
+
+    URLs the REP evaluation rejects never enter a queue; every allowed
+    url is sequenced within its host at that host's own Crawl-delay
+    (falling back to ``default_delay_s`` when the file names none).
+    This is the integration row — the same composition a production
+    fetcher fleet runs, expressed as one declarative plan: the rule
+    and delay tables are hosts-sized broadcast dims, the only
+    frontier-sized exchange is the per-host sequence window (see
+    :func:`schedule_frontier` on why that shuffle is irreducible).
+
+    Output: doc_id, url, host, slot, seq, delay_s, start_s.
+    """
+    from .robotstxt import crawl_delays, robots_allowed
+
+    allowed = (
+        robots_allowed(urls, robots, agent=agent)
+        .filter(F.col("allowed"))
+        .select("doc_id", "url", "host")
+    )
+    delays = crawl_delays(robots, agent=agent)
+    w = Window.partitionBy("host").orderBy("url", "doc_id")
+    return (
+        allowed.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "slot",
+            F.floor(hash_frac(F.col("host"), SLOT_SALT) * fetchers).cast(
+                "int"
+            ),
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn(
+            "delay_s",
+            F.coalesce(
+                F.col("crawl_delay_s"), F.lit(float(default_delay_s))
+            ),
+        )
+        .withColumn("start_s", (F.col("seq") - F.lit(1)) * F.col("delay_s"))
+        .select(
+            "doc_id", "url", "host", "slot", "seq", "delay_s", "start_s"
+        )
+    )
+
+
+def crawl_plan_oracle_sql(
+    allowed_sql: str,
+    delays_sql: str,
+    hash_frac_sql: str,
+    fetchers: int = 64,
+    default_delay_s: float = 1.0,
+) -> str:
+    """DuckDB mirror composing the robots_allowed and crawl_delays
+    oracle texts (full statements — nested as CTE bodies)."""
+    return f"""
+        WITH gated AS ({allowed_sql}),
+        delays AS ({delays_sql}),
+        allowed AS (
+          SELECT doc_id, url, host FROM gated WHERE allowed
+        )
+        SELECT a.doc_id, a.url, a.host,
+               CAST(floor({hash_frac_sql} * {fetchers}) AS INT) AS slot,
+               CAST(row_number() OVER (PARTITION BY a.host
+                                       ORDER BY a.url, a.doc_id) AS INT)
+                 AS seq,
+               coalesce(d.crawl_delay_s, {default_delay_s!r}) AS delay_s,
+               (CAST(row_number() OVER (PARTITION BY a.host
+                                        ORDER BY a.url, a.doc_id) AS INT) - 1)
+                 * coalesce(d.crawl_delay_s, {default_delay_s!r}) AS start_s
+        FROM allowed a LEFT JOIN delays d ON a.host = d.host
+    """

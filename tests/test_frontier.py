@@ -107,3 +107,37 @@ def test_plan_single_exchange_no_python(spark):
     )
     assert plan.count("Exchange") == 1  # the host window, nothing else
     assert "Python" not in plan
+
+
+def test_crawl_plan_composition(spark):
+    from docling_spark.ops.frontier import crawl_plan
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test", "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"),
+            ("b.test", "User-agent: *\nDisallow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "https://a.test/x"),
+            (2, "https://a.test/private/y"),  # gated out
+            (3, "https://a.test/z"),
+            (4, "https://b.test/anything"),  # whole host disallowed
+            (5, "https://norobots.test/ok"),  # no file -> default delay
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in crawl_plan(
+            urls, robots, fetchers=4, default_delay_s=1.0
+        ).collect()
+    }
+    assert set(got) == {1, 3, 5}  # 2 and 4 never enter a queue
+    # a.test queue sequenced at ITS crawl-delay
+    assert got[1]["delay_s"] == 2.0 and got[3]["delay_s"] == 2.0
+    assert {got[1]["start_s"], got[3]["start_s"]} == {0.0, 2.0}
+    # host without robots falls back to the default delay
+    assert got[5]["delay_s"] == 1.0 and got[5]["start_s"] == 0.0
