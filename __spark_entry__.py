@@ -1043,6 +1043,17 @@ def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_schedule(docs, weights, token_budget=500_000.0, max_epochs=4.0)
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output sharding audit (ops/sampling.shard_plan): data-derived
+    shard count, retry/engine-stable hash assignment, per-shard
+    evenness report. One total agg + one map-side shard agg."""
+    from docling_spark.ops.sampling import shard_plan
+
+    return shard_plan(
+        _docs(spark, sf_dir).select("doc_id", "text"), target_bytes=16384.0
+    )
+
+
 def q_domain_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head/middle/tail domain composition (ops/curate.domain_buckets):
     coverage-ranked count LEVELS (the only window runs over distinct
@@ -2515,6 +2526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": q_crawl_frontier,  # politeness fetch schedule
         "frontier_load": q_frontier_load,  # per-slot makespan audit
         "epoch_schedule": q_epoch_schedule,  # token-budget repeat/deficit plan
+        "shard_plan": q_shard_plan,  # output sharding evenness audit
         "domain_buckets": q_domain_buckets,  # head/middle/tail composition
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
@@ -2921,6 +2933,16 @@ def _synth_urls_sql() -> str:
                     THEN '?session=' || lpad(CAST(doc_id * 37 AS VARCHAR), 14, '0')
                     ELSE '' END AS url
           FROM documents"""
+
+
+def _shard_plan_oracle() -> str:
+    from docling_spark.ops.sampling import shard_plan_oracle_sql
+
+    return shard_plan_oracle_sql(
+        "SELECT doc_id, text FROM documents",
+        _hash_frac_sql("shard:", key="doc_id"),
+        target_bytes=16384.0,
+    )
 
 
 def _domain_buckets_oracle() -> str:
@@ -3985,6 +4007,7 @@ def oracle_sql() -> dict[str, str]:
                      0.0) AS token_deficit
             FROM supply s JOIN dim d ON s.source = d.source
         """,
+        "shard_plan": _shard_plan_oracle(),
         "domain_buckets": _domain_buckets_oracle(),
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),

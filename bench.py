@@ -68,6 +68,7 @@ HEADLINE = [
     "domain_reputation",
     "domain_buckets",
     "epoch_schedule",
+    "shard_plan",
     "pipeline_e2e",
     "pipeline_incremental",
     "para_dedup",

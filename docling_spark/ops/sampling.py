@@ -203,3 +203,106 @@ def epoch_schedule(
             F.greatest(target - served, F.lit(0.0)).alias("token_deficit"),
         )
     )
+
+
+def shard_plan(
+    docs: DataFrame,
+    target_bytes: float = 1 << 28,
+    size_col: str = "text",
+) -> DataFrame:
+    """Output sharding audit: derive the shard count from the data and
+    check the evenness of the deterministic assignment.
+
+    Writing a 100 TB corpus is a sharding decision: too few output
+    files → unreadably large objects and stragglers; too many → small-
+    file storms. The plan derives ``n_shards = ceil(total_bytes /
+    target_bytes)`` FROM the data (one agg), assigns every doc by the
+    engine-exact md5-Horner hash (``hash_frac`` — stable across
+    retries, engines and cluster sizes, so a resumed run writes the
+    same shards), and reports per-shard doc/byte totals with the skew
+    ratio vs the ideal even share — hash sharding is even in
+    EXPECTATION; the audit row is what tells an operator the giant-doc
+    tail has unbalanced a shard and a size-aware split is needed.
+
+    Output per shard: shard_id, n_docs, shard_bytes, n_shards,
+    total_bytes, expected_bytes, skew (shard/expected, double).
+
+    Scale shape: one corpus agg for the total (1-row broadcast back),
+    one map-side-combining agg by shard id. Zero Python, no windows.
+    """
+    sized = docs.select(
+        "doc_id", F.octet_length(F.col(size_col)).alias("_bytes")
+    )
+    tot = sized.agg(
+        F.sum("_bytes").alias("total_bytes"),
+        F.ceil(
+            F.sum("_bytes").cast("double") / F.lit(float(target_bytes))
+        )
+        .cast("bigint")
+        .alias("n_shards"),
+    )
+    assigned = sized.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            hash_frac(F.col("doc_id"), "shard:") * F.col("n_shards")
+        )
+        .cast("int")
+        .alias("shard_id"),
+        "_bytes",
+        "n_shards",
+        "total_bytes",
+    )
+    expected = F.col("total_bytes").cast("double") / F.col(
+        "n_shards"
+    ).cast("double")
+    return (
+        assigned.groupBy("shard_id", "n_shards", "total_bytes")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_bytes").alias("shard_bytes"),
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "shard_bytes",
+            "n_shards",
+            "total_bytes",
+            expected.alias("expected_bytes"),
+            (F.col("shard_bytes").cast("double") / expected).alias("skew"),
+        )
+    )
+
+
+def shard_plan_oracle_sql(
+    docs_cte: str,
+    hash_frac_sql: str,
+    target_bytes: float = 1 << 28,
+    size_col: str = "text",
+) -> str:
+    """DuckDB mirror; ``hash_frac_sql`` hashes the column literally
+    named ``doc_id``."""
+    return f"""
+        WITH docs AS ({docs_cte}),
+        sized AS (
+          SELECT doc_id, strlen({size_col}) AS b FROM docs
+        ),
+        tot AS (
+          SELECT CAST(sum(b) AS BIGINT) AS total_bytes,
+                 CAST(ceil(CAST(sum(b) AS DOUBLE) / {target_bytes!r})
+                      AS BIGINT) AS n_shards
+          FROM sized
+        ),
+        assigned AS (
+          SELECT CAST(floor({hash_frac_sql} * t.n_shards) AS INT)
+                   AS shard_id,
+                 s.b, t.n_shards, t.total_bytes
+          FROM sized s, tot t
+        )
+        SELECT shard_id, count(*) AS n_docs,
+               CAST(sum(b) AS BIGINT) AS shard_bytes,
+               n_shards, total_bytes,
+               CAST(total_bytes AS DOUBLE) / n_shards AS expected_bytes,
+               CAST(sum(b) AS DOUBLE)
+                 / (CAST(total_bytes AS DOUBLE) / n_shards) AS skew
+        FROM assigned
+        GROUP BY shard_id, n_shards, total_bytes
+    """

@@ -140,3 +140,37 @@ def test_epoch_schedule_caps_and_deficits(spark):
     # rich under-full: fractional epochs, zero deficit
     assert r["epochs"] == 0.1
     assert r["tokens_served"] == 100.0 and r["token_deficit"] == 0.0
+
+
+def test_shard_plan_conservation_and_determinism(spark):
+    from docling_spark.ops.sampling import shard_plan
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (100 + i % 7)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rep = shard_plan(docs, target_bytes=2000.0).collect()
+    total = rep[0]["total_bytes"]
+    n_shards = rep[0]["n_shards"]
+    import math
+
+    assert n_shards == math.ceil(total / 2000.0)
+    # conservation: every doc and every byte lands in exactly one shard
+    assert sum(r["n_docs"] for r in rep) == 200
+    assert sum(r["shard_bytes"] for r in rep) == total
+    assert all(0 <= r["shard_id"] < n_shards for r in rep)
+    # determinism across parallelism
+    rep2 = shard_plan(docs.repartition(13), target_bytes=2000.0).collect()
+    key = lambda r: r["shard_id"]
+    assert sorted(rep, key=key) == sorted(rep2, key=key)
+    # skew is the ratio vs the even share
+    for r in rep:
+        assert r["skew"] == r["shard_bytes"] / r["expected_bytes"]
+
+
+def test_shard_plan_single_shard_floor(spark):
+    from docling_spark.ops.sampling import shard_plan
+
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    (r,) = shard_plan(docs, target_bytes=1e9).collect()
+    assert r["n_shards"] == 1 and r["shard_id"] == 0 and r["skew"] == 1.0
