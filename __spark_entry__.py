@@ -1114,6 +1114,32 @@ def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wet_records(synth_pages(spark, sf_dir).select("url", "warc_ts", "text"))
 
 
+def q_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publisher-hint recrawl scheduling (ops/sitemap.recrawl_due):
+    changefreq->interval law, lastmod elapsed-days check, protocol
+    default priority — the refresh-crawl frontier next to the
+    content-hash CDC. Pure in-row date arithmetic."""
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.sitemap import (
+        parse_sitemaps,
+        recrawl_due,
+        synth_sitemaps,
+    )
+
+    entries = parse_sitemaps(synth_sitemaps(spark, list(urlfilter._HOSTS)))
+    return recrawl_due(entries, asof="2026-06-15")
+
+
+def q_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt (ops/robotstxt.sitemap_urls):
+    the group-independent Sitemap: directives that seed the discovery
+    crawl — the link from the REP gate to the sitemap parser."""
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    return rt.sitemap_urls(rt.synth_robots(spark, list(urlfilter._HOSTS)))
+
+
 def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing (ops/sitemap.py): urlset leaves AND sitemapindex
     files into typed entries (loc entity-unescaped, lastmod date
@@ -2531,7 +2557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
         "crawl_plan": q_crawl_plan,  # composed robots->delay->schedule
+        "sitemap_discovery": q_sitemap_discovery,  # robots Sitemap: directives
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
+        "recrawl_due": q_recrawl_due,  # publisher-hint refresh frontier
         "wet_export": q_wet_export,  # WET conversion-record sink law
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
@@ -2967,6 +2995,29 @@ def _wet_export_oracle() -> str:
                text
         FROM documents"""
     return wet_records_oracle_sql(pages)
+
+
+def _recrawl_due_oracle() -> str:
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.sitemap import (
+        SYNTH_SITEMAPS_SQL,
+        parse_sitemaps_oracle_sql,
+        recrawl_due_oracle_sql,
+    )
+
+    return recrawl_due_oracle_sql(
+        parse_sitemaps_oracle_sql(SYNTH_SITEMAPS_SQL(list(urlfilter._HOSTS))),
+        asof="2026-06-15",
+    )
+
+
+def _sitemap_discovery_oracle() -> str:
+    from docling_spark.ops import robotstxt as rt
+    from docling_spark.ops import urlfilter
+
+    return rt.sitemap_urls_oracle_sql(
+        rt.SYNTH_ROBOTS_SQL(list(urlfilter._HOSTS))
+    )
 
 
 def _sitemap_entries_oracle() -> str:
@@ -4012,7 +4063,9 @@ def oracle_sql() -> dict[str, str]:
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
         "crawl_plan": _crawl_plan_oracle(),
+        "sitemap_discovery": _sitemap_discovery_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
+        "recrawl_due": _recrawl_due_oracle(),
         "wet_export": _wet_export_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),

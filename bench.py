@@ -78,6 +78,7 @@ HEADLINE = [
     "robots_gate",
     "robotstxt_allow",
     "sitemap_entries",
+    "recrawl_due",
     "wet_export",
     "decontam",
     "simhash",

@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "parse_robots_rules",
+    "sitemap_urls",
     "robots_allowed",
     "crawl_delays",
     "synth_robots",
@@ -77,7 +78,9 @@ def _lines(robots: DataFrame) -> DataFrame:
         F.lower(F.regexp_extract(clean, _FIELD_RE, 1)).alias("field"),
         F.trim(F.regexp_extract(clean, _VALUE_RE, 1)).alias("value"),
     ).filter(
-        F.col("field").isin("user-agent", "allow", "disallow", "crawl-delay")
+        F.col("field").isin(
+        "user-agent", "allow", "disallow", "crawl-delay", "sitemap"
+    )
     )
     w = Window.partitionBy("host").orderBy("ln")
     is_ua = (F.col("field") == "user-agent").cast("int")
@@ -242,6 +245,10 @@ def synth_robots(spark: SparkSession, hosts: list[str]) -> DataFrame:
             if h % 5 == 0:
                 parts.append(f"Crawl-delay: {1 + h % 7}")
             parts.append("")
+        if h % 4 == 2:
+            parts.append(f"Sitemap: https://{host}/sitemap.xml")
+            if h % 8 == 2:
+                parts.append(f"Sitemap: https://{host}/news-sitemap.xml")
         parts.append("User-agent: *")
         parts.append("Disallow: /admin")
         if h % 2 == 0:
@@ -298,6 +305,10 @@ def SYNTH_ROBOTS_SQL(hosts: list[str]) -> str:
             if h % 5 == 0:
                 parts.append(f"Crawl-delay: {1 + h % 7}")
             parts.append("")
+        if h % 4 == 2:
+            parts.append(f"Sitemap: https://{host}/sitemap.xml")
+            if h % 8 == 2:
+                parts.append(f"Sitemap: https://{host}/news-sitemap.xml")
         parts.append("User-agent: *")
         parts.append("Disallow: /admin")
         if h % 2 == 0:
@@ -350,7 +361,7 @@ def _parse_ctes_sql(agent: str) -> str:
                    AS value
           FROM lines0
           WHERE lower(regexp_extract(clean, '^([A-Za-z-]+)\\s*:', 1))
-                IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+                IN ('user-agent', 'allow', 'disallow', 'crawl-delay', 'sitemap')
         ),
         marks AS (
           SELECT host, ln, field, value,
@@ -442,4 +453,35 @@ def crawl_delays_oracle_sql(robots_cte: str, agent: str = "doclingbot") -> str:
           ON g.host = c.host AND g.group_id = c.group_id
         WHERE g.field = 'crawl-delay'
         GROUP BY g.host
+    """
+
+
+def sitemap_urls(robots: DataFrame) -> DataFrame:
+    """Sitemap discovery: ``Sitemap:`` directives from robots.txt.
+
+    Per the sitemaps.org robots extension the directive is
+    group-INDEPENDENT — it applies regardless of user-agent, so no
+    group selection runs here; every non-empty value is an absolute
+    sitemap URL feeding :mod:`ops.sitemap`'s parser (note: a Sitemap
+    line BETWEEN two consecutive User-agent headers does break their
+    stacking into one group, as in most real parsers).
+
+    Output: (host, sitemap_url), distinct.
+    """
+    return (
+        _lines(robots)
+        .filter((F.col("field") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def sitemap_urls_oracle_sql(robots_cte: str) -> str:
+    """DuckDB mirror of :func:`sitemap_urls`."""
+    return f"""
+        WITH robots AS ({robots_cte}),
+        {_parse_ctes_sql("*")}
+        SELECT DISTINCT host, value AS sitemap_url
+        FROM parsed
+        WHERE field = 'sitemap' AND value != ''
     """

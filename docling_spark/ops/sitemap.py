@@ -186,3 +186,93 @@ def parse_sitemaps_oracle_sql(sitemaps_cte: str) -> str:
         UNION ALL
         {entries("(?s)<sitemap>(.*?)</sitemap>", "sitemap")}
     """
+
+
+# changefreq → recrawl interval in days ('always'/'hourly' share the
+# daily floor at corpus granularity; 'never' → no interval)
+CHANGEFREQ_DAYS = [
+    ("always", 1),
+    ("hourly", 1),
+    ("daily", 1),
+    ("weekly", 7),
+    ("monthly", 30),
+    ("yearly", 365),
+]
+DEFAULT_INTERVAL_DAYS = 7
+
+
+def recrawl_due(entries: DataFrame, asof: str) -> DataFrame:
+    """Recrawl scheduling over parsed sitemap entries: which URLs are
+    due as of ``asof`` (YYYY-MM-DD), and at what priority.
+
+    Law (documented where the protocol is silent): ``changefreq`` maps
+    to a day interval per CHANGEFREQ_DAYS (missing → 7-day default,
+    ``never`` → no interval); a URL is DUE when its ``lastmod_date``
+    is missing/unparseable (we know nothing — fetch) or when at least
+    the interval has elapsed since it; ``never`` with a valid lastmod
+    is not due. ``fetch_priority`` = declared priority, 0.5 default
+    (the protocol's own default). The output joins straight into
+    :func:`ops.frontier.schedule_frontier` as the frontier of a
+    refresh crawl — the publisher-hint counterpart of the
+    content-hash CDC in ``ops/snapshot.py``.
+
+    Scale shape: pure in-row date arithmetic on the entry table —
+    zero shuffles, zero Python.
+    """
+    interval = None
+    for name, days in CHANGEFREQ_DAYS:
+        cond = F.when(F.col("changefreq") == name, F.lit(days))
+        interval = cond if interval is None else interval.when(
+            F.col("changefreq") == name, F.lit(days)
+        )
+    interval = interval.otherwise(
+        F.when(
+            F.col("changefreq").isNull(), F.lit(DEFAULT_INTERVAL_DAYS)
+        )
+    )  # 'never' (or unknown values) fall through to NULL
+    lastmod = F.col("lastmod_date").try_cast("date")
+    days_since = F.datediff(F.lit(asof).cast("date"), lastmod)
+    due = lastmod.isNull() | (
+        interval.isNotNull() & (days_since >= interval)
+    )
+    return entries.filter(F.col("kind") == "url").select(
+        "host",
+        "loc",
+        interval.cast("bigint").alias("interval_days"),
+        days_since.cast("bigint").alias("days_since"),
+        due.alias("due"),
+        F.coalesce(F.col("priority"), F.lit(0.5)).alias("fetch_priority"),
+    )
+
+
+def recrawl_due_oracle_sql(entries_sql: str, asof: str) -> str:
+    """DuckDB mirror over the parse_sitemaps oracle text."""
+    freq_case = " ".join(
+        f"WHEN changefreq = '{name}' THEN {days}"
+        for name, days in CHANGEFREQ_DAYS
+    )
+    interval = (
+        f"CASE {freq_case} "
+        "WHEN changefreq IS NULL THEN "
+        f"{DEFAULT_INTERVAL_DAYS} END"
+    )
+    return f"""
+        WITH entries AS ({entries_sql}),
+        urls AS (SELECT * FROM entries WHERE kind = 'url'),
+        calc AS (
+          SELECT host, loc,
+                 {interval} AS interval_days,
+                 date_diff('day', TRY_CAST(lastmod_date AS DATE),
+                           DATE '{asof}') AS days_since,
+                 TRY_CAST(lastmod_date AS DATE) IS NULL AS no_lastmod,
+                 coalesce(priority, 0.5) AS fetch_priority
+          FROM urls
+        )
+        SELECT host, loc,
+               CAST(interval_days AS BIGINT) AS interval_days,
+               CAST(days_since AS BIGINT) AS days_since,
+               (no_lastmod OR (interval_days IS NOT NULL
+                               AND days_since >= interval_days)) AS due,
+               fetch_priority
+        FROM calc
+    """

@@ -134,3 +134,41 @@ def test_lang_confusion_rates(spark):
     assert got[("de", "unknown")]["n"] == 2
     assert got[("de", "unknown")]["rate"] == 1.0
     assert ("de", "en") not in got
+
+
+def test_recrawl_due_law(spark):
+    from docling_spark.ops.sitemap import parse_sitemaps, recrawl_due
+
+    xml = (
+        "<urlset>"
+        "<url><loc>https://h.test/fresh</loc>"
+        "<lastmod>2026-06-14</lastmod><changefreq>daily</changefreq></url>"
+        "<url><loc>https://h.test/stale-weekly</loc>"
+        "<lastmod>2026-06-01</lastmod><changefreq>weekly</changefreq></url>"
+        "<url><loc>https://h.test/fresh-weekly</loc>"
+        "<lastmod>2026-06-10</lastmod><changefreq>weekly</changefreq></url>"
+        "<url><loc>https://h.test/never</loc>"
+        "<lastmod>2020-01-01</lastmod><changefreq>never</changefreq></url>"
+        "<url><loc>https://h.test/no-lastmod</loc>"
+        "<changefreq>never</changefreq></url>"
+        "<url><loc>https://h.test/defaults</loc>"
+        "<lastmod>2026-06-01</lastmod><priority>0.9</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [("h.test", xml)], "host string, sitemap_xml string"
+    )
+    got = {
+        r["loc"].rsplit("/", 1)[-1]: r
+        for r in recrawl_due(parse_sitemaps(df), asof="2026-06-15").collect()
+    }
+    assert got["fresh"]["due"]  # 1 day elapsed >= daily interval
+    assert got["stale-weekly"]["due"]  # 14 days >= 7
+    assert not got["fresh-weekly"]["due"]  # 5 days < 7
+    assert not got["never"]["due"]  # never + valid lastmod
+    assert got["no-lastmod"]["due"]  # missing lastmod always fetches
+    assert got["no-lastmod"]["interval_days"] is None
+    d = got["defaults"]
+    assert d["interval_days"] == 7 and d["due"]  # default freq
+    assert d["fetch_priority"] == 0.9
+    assert got["fresh"]["fetch_priority"] == 0.5  # protocol default
