@@ -2153,6 +2153,19 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (ops/dedup.source_overlap):
+    pairwise distinct-shingle Jaccard + Szymkiewicz-Simpson overlap
+    between corpus sources — the mirror/subset-dump detector behind
+    mix planning. Output is a sources^2-row matrix."""
+    return dedup.source_overlap(
+        _docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+            "source", "text"
+        ),
+        k=8,
+    )
+
+
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (ops/dedup.containment_pairs):
     the syndication/quotation signal — a doc living INSIDE a bigger one
@@ -2611,6 +2624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "source_overlap": q_source_overlap,  # cross-source contamination matrix
         "edit_verify": q_edit_verify,  # levenshtein precision stage
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
         "ivf_kmeans_search": q_ivf_kmeans_search,  # rows-only by design
@@ -4385,6 +4399,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        "source_overlap": """
+            WITH sh AS (
+              SELECT DISTINCT d.source, substring(d.text, g.i, 8) AS sh
+              FROM (SELECT source, text FROM documents WHERE doc_id < 200) d,
+                   LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+            common AS (
+              SELECT a.source AS source_a, b.source AS source_b,
+                     count(*) AS inter
+              FROM sh a JOIN sh b
+                ON a.sh = b.sh AND a.source < b.source
+              GROUP BY a.source, b.source
+            )
+            SELECT source_a, source_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                   inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard,
+                   inter / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+                     AS overlap_coef
+            FROM common
+            JOIN sizes sa ON sa.source = source_a
+            JOIN sizes sb ON sb.source = source_b
         """,
         "containment_pairs": """
             WITH docs3 AS (

@@ -35,6 +35,7 @@ HEADLINE = [
     "lsh_incremental",
     "edit_verify",
     "containment_pairs",
+    "source_overlap",
     "dedup_clusters",
     "dedup_report",
     "substr_dedup",

@@ -418,3 +418,66 @@ def edit_verify_pairs(
         )
         .withColumn("is_dup", F.col("edit_sim") >= threshold)
     )
+
+
+def source_overlap(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Cross-source contamination matrix: pairwise shingle-set overlap
+    BETWEEN corpus sources.
+
+    The corpus-level audit behind mix planning: two "different" sources
+    with high set overlap (a mirror of the same dump, a re-crawl under
+    a new name) double-count in the training mix and silently defeat
+    per-source dedup budgets. Reports, per source pair, the distinct
+    k-gram intersection with Jaccard and the Szymkiewicz–Simpson
+    overlap coefficient ``inter / min(|A|, |B|)`` — overlap ~1.0 with
+    modest Jaccard is the containment signature (one source is a
+    subset dump of the other; cf. containment_pairs at doc grain).
+
+    Scale shape: one (source, shingle) distinct (the big exchange —
+    uniform shingle keys), then a shingle-keyed self-join whose per-key
+    blowup is bounded by sources², and sources number in the dozens at
+    any corpus scale — the output is a sources²-row matrix. Ratios
+    unrounded (engine-exact doubles).
+    """
+    sh = docs.select(
+        "source", F.explode(_shingles(k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("sz").alias("sz_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            (
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).alias("jaccard"),
+            (F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))).alias(
+                "overlap_coef"
+            ),
+        )
+    )

@@ -149,3 +149,26 @@ def test_containment_threshold_gate(spark):
     lo = containment_pairs(df, k=8, threshold=0.1).collect()
     assert hi == [] and len(lo) == 1
     assert lo[0]["relation"] == "partial_overlap"
+
+
+def test_source_overlap_matrix(spark):
+    from docling_spark.ops.dedup import source_overlap
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        ("mirror1", base),
+        ("mirror2", base),                 # exact mirror: jaccard 1.0
+        ("subset", base[: len(base) // 2]),  # prefix dump: overlap 1.0
+        ("other", "completely different material with zero shared grams"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in source_overlap(df, k=8).collect()
+    }
+    m = got[("mirror1", "mirror2")]
+    assert m["jaccard"] == 1.0 and m["overlap_coef"] == 1.0
+    s = got[("mirror1", "subset")]
+    assert s["overlap_coef"] == 1.0  # the containment signature
+    assert s["jaccard"] < 0.9
+    assert ("mirror1", "other") not in got  # zero intersection: no row
