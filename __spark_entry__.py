@@ -2153,6 +2153,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing passage-overlap candidates (ops/winnow.py, the MOSS
+    algorithm): min-hash-per-sliding-window fingerprint selection with
+    the coverage guarantee (any shared substring of length >= w+k-1
+    shares a fingerprint), then the capped inverted-index pair join.
+    The third dedup family next to MinHash and ExactSubstr."""
+    from docling_spark.ops.winnow import winnow_pairs
+
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 60))
+    return winnow_pairs(docs, k=5, w=4, min_shared=5)
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source contamination matrix (ops/dedup.source_overlap):
     pairwise distinct-shingle Jaccard + Szymkiewicz-Simpson overlap
@@ -2626,6 +2638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "winnow_pairs": q_winnow_pairs,  # MOSS winnowing passage overlap
         "source_overlap": q_source_overlap,  # cross-source contamination matrix
         "edit_verify": q_edit_verify,  # levenshtein precision stage
         "embedding_dups_exact": q_embedding_dups_exact,  # verifier for _lsh
@@ -3079,6 +3092,17 @@ def _crawl_plan_oracle() -> str:
         fetchers=16,
         default_delay_s=1.0,
     )
+
+
+def _winnow_pairs_oracle() -> str:
+    from docling_spark.ops.winnow import winnow_pairs_oracle_sql
+
+    docs = (
+        "SELECT doc_id, text FROM documents WHERE doc_id < 60 "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents "
+        "WHERE doc_id < 50"
+    )
+    return winnow_pairs_oracle_sql(docs, k=5, w=4, min_shared=5)
 
 
 def _crawl_frontier_oracle() -> str:
@@ -4402,6 +4426,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
+        "winnow_pairs": _winnow_pairs_oracle(),
         "source_overlap": """
             WITH sh AS (
               SELECT DISTINCT d.source, substring(d.text, g.i, 8) AS sh

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_clusters",
     "dedup_report",
     "substr_dedup",
+    "winnow_pairs",
     "semdedup",
     "phash_dedup",
     "audio_dups",
