@@ -166,13 +166,25 @@ def line_script_switches(docs: DataFrame) -> DataFrame:
     via the same literal ranges, adjacent-pair comparison over the
     classified sequence. Zero shuffles, zero Python.
     """
-    lines = F.filter(
+    lines_expr = F.filter(
         F.split(F.col("text"), r"\n"),
         lambda l: F.length(F.trim(l)) > 0,
     )
-    doms = F.filter(
-        F.transform(lines, _line_dominant), lambda d: d.isNotNull()
+    # Materialize the classified-dominants array in its own projection
+    # BEFORE the adjacent-pair pass: lambda bodies inline referenced
+    # expressions, so comparing element_at(doms, i) over the raw
+    # filter(transform(...9 regexes...)) expression would re-evaluate
+    # the whole per-line classification once per pair — O(n_lines²)
+    # regex work on line-heavy docs (the ops/winnow.py lesson).
+    staged = docs.select(
+        "doc_id",
+        F.size(lines_expr).alias("n_lines"),
+        F.filter(
+            F.transform(lines_expr, _line_dominant),
+            lambda d: d.isNotNull(),
+        ).alias("doms"),
     )
+    doms = F.col("doms")
     n = F.size(doms)
     switches = F.when(
         n >= 2,
@@ -187,9 +199,9 @@ def line_script_switches(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.lit(0))
-    return docs.select(
+    return staged.select(
         "doc_id",
-        F.size(lines).alias("n_lines"),
+        "n_lines",
         n.alias("n_classified"),
         switches.cast("bigint").alias("n_switches"),
         (switches >= 1).alias("is_code_switched"),
