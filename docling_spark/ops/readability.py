@@ -59,29 +59,47 @@ def readability(docs: DataFrame) -> DataFrame:
     Output: doc_id, n_words, n_sentences, n_letters, n_syllables,
     ari, coleman_liau, flesch, flesch_band.
     """
+    # Counts are materialized in one projection first: every formula
+    # reference to an expression re-inlines it (Catalyst lambda/alias
+    # inlining), so computing ari/coleman/flesch straight off the raw
+    # split would tokenize the text ~8 times per row. After this
+    # projection each count is a column reference — one pass per doc.
     words = F.filter(
         F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0
     )
-    n_words = F.size(words).cast("bigint")
-    n_sentences = F.greatest(
-        F.lit(1).cast("bigint"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)).cast(
-            "bigint"
-        ),
+    counted = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)
+            ).cast("bigint"),
+        ).alias("n_sentences"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), r"[A-Za-z]", ""))
+        )
+        .cast("bigint")
+        .alias("n_letters"),
+        F.aggregate(
+            words,
+            F.lit(0).cast("bigint"),
+            lambda acc, w: acc
+            + F.greatest(
+                F.lit(1),
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower(w), F.lit(r"[aeiouy]+"), 0
+                    )
+                ),
+            ).cast("bigint"),
+        ).alias("n_syllables"),
     )
-    n_letters = (
-        F.length(F.col("text"))
-        - F.length(F.regexp_replace(F.col("text"), r"[A-Za-z]", ""))
-    ).cast("bigint")
-    n_syllables = F.aggregate(
-        words,
-        F.lit(0).cast("bigint"),
-        lambda acc, w: acc
-        + F.greatest(
-            F.lit(1),
-            F.size(F.regexp_extract_all(F.lower(w), F.lit(r"[aeiouy]+"), 0)),
-        ).cast("bigint"),
-    )
+    n_words = F.col("n_words")
+    n_sentences = F.col("n_sentences")
+    n_letters = F.col("n_letters")
+    n_syllables = F.col("n_syllables")
 
     wd = n_words.cast("double")
     ari = (
@@ -107,11 +125,11 @@ def readability(docs: DataFrame) -> DataFrame:
         .otherwise("very_hard")
     )
     empty = n_words == 0
-    return docs.select(
+    return counted.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_sentences.alias("n_sentences"),
-        n_letters.alias("n_letters"),
+        "n_words",
+        "n_sentences",
+        "n_letters",
         F.when(empty, None).otherwise(n_syllables).alias("n_syllables"),
         F.when(empty, None).otherwise(ari).alias("ari"),
         F.when(empty, None).otherwise(coleman).alias("coleman_liau"),
