@@ -2153,6 +2153,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact HyperLogLog (ops/hll.py): per-host distinct-URL
+    estimates from md5-register sketches — the scale-telemetry
+    primitive exact count(distinct) cannot provide at 10^12 rows; the
+    register agg combines map-side so the shuffle carries <= m rows
+    per host. Fully value-oracled (unlike approx_count_distinct,
+    whose HLL++ hashing is engine-private)."""
+    from docling_spark.ops.hll import hll_cardinality
+
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".test/p"),
+            (F.col("doc_id") % 137).cast("string"),
+        ).alias("url"),
+    )
+    return hll_cardinality(urls, "url", group_cols=["host"], b=10)
+
+
 def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing passage-overlap candidates (ops/winnow.py, the MOSS
     algorithm): min-hash-per-sliding-window fingerprint selection with
@@ -2638,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "hll_host_cardinality": q_hll_host_cardinality,  # engine-exact HLL sketch
         "winnow_pairs": q_winnow_pairs,  # MOSS winnowing passage overlap
         "source_overlap": q_source_overlap,  # cross-source contamination matrix
         "edit_verify": q_edit_verify,  # levenshtein precision stage
@@ -3092,6 +3116,17 @@ def _crawl_plan_oracle() -> str:
         fetchers=16,
         default_delay_s=1.0,
     )
+
+
+def _hll_oracle() -> str:
+    from docling_spark.ops.hll import hll_cardinality_oracle_sql
+
+    docs = """
+        SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+               'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.test/p'
+                 || CAST(doc_id % 137 AS VARCHAR) AS url
+        FROM documents"""
+    return hll_cardinality_oracle_sql(docs, "url", group_cols=["host"], b=10)
 
 
 def _winnow_pairs_oracle() -> str:
@@ -4426,6 +4461,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
+        "hll_host_cardinality": _hll_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "source_overlap": """
             WITH sh AS (

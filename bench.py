@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_report",
     "substr_dedup",
     "winnow_pairs",
+    "hll_host_cardinality",
     "semdedup",
     "phash_dedup",
     "audio_dups",
