@@ -2153,6 +2153,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact Count-Min Sketch (ops/cms.py): token-frequency
+    point estimates with the exact count alongside — est is never an
+    underestimate, and the overestimate column IS the collision-mass
+    audit. Building the sketch is one map-side-combining (row, col)
+    agg whose shuffle carries <= d*w counter rows regardless of corpus
+    size; probes broadcast the counter table."""
+    from docling_spark.ops.cms import cms_estimates
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    probes = spark.createDataFrame(
+        [("the",), ("value",), ("table",), ("spark",), ("zzz-absent",)],
+        "tok string",
+    )
+    return cms_estimates(toks, probes, "tok", d=4, w=512)
+
+
 def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact HyperLogLog (ops/hll.py): per-host distinct-URL
     estimates from md5-register sketches — the scale-telemetry
@@ -2661,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "cms_token_counts": q_cms_token_counts,  # engine-exact CMS heavy-hitter audit
         "hll_host_cardinality": q_hll_host_cardinality,  # engine-exact HLL sketch
         "winnow_pairs": q_winnow_pairs,  # MOSS winnowing passage overlap
         "source_overlap": q_source_overlap,  # cross-source contamination matrix
@@ -3116,6 +3136,21 @@ def _crawl_plan_oracle() -> str:
         fetchers=16,
         default_delay_s=1.0,
     )
+
+
+def _cms_oracle() -> str:
+    from docling_spark.ops.cms import cms_estimates_oracle_sql
+
+    keys = """
+        SELECT t.tok
+        FROM documents d,
+             UNNEST(string_split_regex(lower(d.text), '\\s+')) AS t(tok)
+        WHERE length(t.tok) > 0"""
+    probes = (
+        "SELECT unnest(['the', 'value', 'table', 'spark', 'zzz-absent'])"
+        " AS tok"
+    )
+    return cms_estimates_oracle_sql(keys, probes, key="tok", d=4, w=512)
 
 
 def _hll_oracle() -> str:
@@ -4461,6 +4496,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
+        "cms_token_counts": _cms_oracle(),
         "hll_host_cardinality": _hll_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "source_overlap": """

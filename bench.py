@@ -41,6 +41,7 @@ HEADLINE = [
     "substr_dedup",
     "winnow_pairs",
     "hll_host_cardinality",
+    "cms_token_counts",
     "semdedup",
     "phash_dedup",
     "audio_dups",

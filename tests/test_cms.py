@@ -1,0 +1,93 @@
+"""Count-Min Sketch (ops/cms): never-underestimate law, collision
+overestimates, absent keys, cross-engine equality, plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from docling_spark.ops.cms import cms_counters, cms_estimates, cms_estimates_oracle_sql
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _keys(spark, occurrences):
+    return spark.createDataFrame([(k,) for k in occurrences], "k string")
+
+
+def test_never_underestimates_and_exact_when_sparse(spark):
+    occ = ["a"] * 100 + ["b"] * 10 + ["c"]
+    probes = _keys(spark, ["a", "b", "c", "absent"]).distinct()
+    got = {
+        r["key"]: r
+        for r in cms_estimates(
+            _keys(spark, occ), probes, "k", d=4, w=512
+        ).collect()
+    }
+    for k, true in [("a", 100), ("b", 10), ("c", 1), ("absent", 0)]:
+        assert got[k]["true_cnt"] == true
+        assert got[k]["est"] >= true  # the CMS one-sided guarantee
+        assert got[k]["overestimate"] >= 0
+    # 3 distinct keys in a 4x512 sketch: collisions impossible to matter
+    assert got["a"]["est"] == 100 and got["absent"]["est"] == 0
+
+
+def test_counter_mass_conservation(spark):
+    occ = [f"k{i % 7}" for i in range(70)]
+    rows = cms_counters(_keys(spark, occ), "k", d=3, w=64).collect()
+    # every row of the sketch holds the full occurrence mass
+    by_r = {}
+    for r in rows:
+        by_r[r["r"]] = by_r.get(r["r"], 0) + r["cnt"]
+    assert by_r == {0: 70, 1: 70, 2: 70}
+
+
+def test_cross_engine(spark):
+    occ = [f"tok{i % 13}" for i in range(200)]
+    probes = [f"tok{i}" for i in range(5)] + ["nope"]
+    got = {
+        r["key"]: (r["est"], r["true_cnt"])
+        for r in cms_estimates(
+            _keys(spark, occ),
+            _keys(spark, probes),
+            "k",
+            d=4,
+            w=32,  # small w: force collisions, both engines must agree
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE occ(k VARCHAR)")
+    con.executemany("INSERT INTO occ VALUES (?)", [(k,) for k in occ])
+    con.execute("CREATE TABLE pr(k VARCHAR)")
+    con.executemany("INSERT INTO pr VALUES (?)", [(k,) for k in probes])
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            cms_estimates_oracle_sql(
+                "SELECT k FROM occ", "SELECT k FROM pr", key="k", d=4, w=32
+            )
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_plan_mapside_no_python(spark):
+    plan = (
+        cms_counters(_keys(spark, ["x"]), "k")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+    assert "partial" in plan.lower()
