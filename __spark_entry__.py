@@ -2153,6 +2153,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (ops/dedup.ngram_novelty): fraction of a
+    doc's distinct 8-grams seen in no other document — the Dolma-style
+    originality scalar between whole-doc dedup and span excision.
+    Corpus includes exact copies (novelty 0.0 on both twins)."""
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 80))
+    return dedup.ngram_novelty(docs, k=8)
+
+
 def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact Count-Min Sketch (ops/cms.py): token-frequency
     point estimates with the exact count alongside — est is never an
@@ -2680,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "ngram_novelty": q_ngram_novelty,  # Dolma-style originality scalar
         "cms_token_counts": q_cms_token_counts,  # engine-exact CMS heavy-hitter audit
         "hll_host_cardinality": q_hll_host_cardinality,  # engine-exact HLL sketch
         "winnow_pairs": q_winnow_pairs,  # MOSS winnowing passage overlap
@@ -4495,6 +4505,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
+        """,
+        "ngram_novelty": f"""
+            {_DUPS_CTE},
+            base AS (SELECT * FROM docs2 WHERE doc_id < 80 OR doc_id >= 100000),
+            sh AS (
+              SELECT DISTINCT d.doc_id, substring(d.text, g.i, 8) AS sh
+              FROM base d, LATERAL (SELECT unnest(range(1, greatest(length(d.text) - 7, 1) + 1)) AS i) g
+            ),
+            dfc AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+            per_doc AS (
+              SELECT s.doc_id, count(*) AS n_shingles,
+                     CAST(sum(CASE WHEN c.df >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shared
+              FROM sh s JOIN dfc c ON s.sh = c.sh
+              GROUP BY s.doc_id
+            )
+            SELECT doc_id, n_shingles, n_shared,
+                   1.0 - CAST(n_shared AS DOUBLE) / n_shingles AS novelty
+            FROM per_doc
         """,
         "cms_token_counts": _cms_oracle(),
         "hll_host_cardinality": _hll_oracle(),

@@ -42,6 +42,7 @@ HEADLINE = [
     "winnow_pairs",
     "hll_host_cardinality",
     "cms_token_counts",
+    "ngram_novelty",
     "semdedup",
     "phash_dedup",
     "audio_dups",

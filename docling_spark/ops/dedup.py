@@ -481,3 +481,47 @@ def source_overlap(docs: DataFrame, k: int = 8) -> DataFrame:
             ),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    k-grams that appear in no other document.
+
+    The scalar originality signal between exact dedup (whole-doc) and
+    span excision (ExactSubstr/C4): a document whose shingles are
+    mostly corpus-shared is boilerplate/syndication even when no
+    single pair crosses a near-dup threshold — Dolma-style pipelines
+    gate or down-weight on exactly this fraction. Emits the audit
+    counts alongside the ratio.
+
+    Output: (doc_id, n_shingles, n_shared, novelty) with novelty =
+    1 - n_shared/n_shingles (1.0 = fully original).
+
+    Scale shape: one shingle-keyed df aggregation (map-side combine)
+    plus a join BACK on the same shingle key — co-partitioned with the
+    agg's exchange, so the second hop reuses the first's partitioning;
+    then a doc-keyed count rollup. Uniform shingle keys, nothing
+    all-pairs. Ratios unrounded (exact integer division per doc).
+    """
+    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("sh"))
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (
+            F.lit(1.0)
+            - F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )

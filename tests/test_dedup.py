@@ -172,3 +172,17 @@ def test_source_overlap_matrix(spark):
     assert s["overlap_coef"] == 1.0  # the containment signature
     assert s["jaccard"] < 0.9
     assert ("mirror1", "other") not in got  # zero intersection: no row
+
+
+def test_ngram_novelty(spark):
+    from docling_spark.ops.dedup import ngram_novelty
+
+    unique = "qwerty uiop asdfgh jkl zxcvbn m1234 original only"
+    shared = "this exact passage occurs verbatim elsewhere zz"
+    rows = [(1, unique), (2, shared), (3, shared)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(df, k=8).collect()}
+    assert got[1]["novelty"] == 1.0 and got[1]["n_shared"] == 0
+    # exact twins: every shingle shared -> novelty exactly 0.0
+    assert got[2]["novelty"] == 0.0 and got[3]["novelty"] == 0.0
+    assert got[2]["n_shingles"] == got[3]["n_shingles"]
