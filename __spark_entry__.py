@@ -2153,6 +2153,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based cluster canonicals (ops/cc.canonical_by): the same
+    LSH+chain component assignment as dedup_clusters, but the kept
+    copy is the LONGEST text (n_chars as the quality proxy) with
+    doc_id tie-break — the RefinedWeb keep-best policy replacing
+    min-id. One doc_id join + cluster-sized windows."""
+    from docling_spark.ops.cc import canonical_by
+
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, seeds=[1, 2, 3, 4], band_size=2)
+    chain = (
+        _docs(spark, sf_dir)
+        .filter((F.col("doc_id") < 99) & (F.col("doc_id") % 10 != 9))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1).alias("doc_b"),
+        )
+    )
+    asn = cc.dedup_assignments(docs, pairs.unionByName(chain))
+    scores = docs.select("doc_id", F.col("n_chars").cast("double").alias("q"))
+    return canonical_by(asn, scores, score_col="q")
+
+
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (ops/dedup.ngram_novelty): fraction of a
     doc's distinct 8-grams seen in no other document — the Dolma-style
@@ -2689,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "canonical_by_quality": q_canonical_by_quality,  # keep-best-copy policy
         "ngram_novelty": q_ngram_novelty,  # Dolma-style originality scalar
         "cms_token_counts": q_cms_token_counts,  # engine-exact CMS heavy-hitter audit
         "hll_host_cardinality": q_hll_host_cardinality,  # engine-exact HLL sketch
@@ -4506,7 +4530,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= 0.8
         """,
-        "ngram_novelty": f"""
+"ngram_novelty": f"""
             {_DUPS_CTE},
             base AS (SELECT * FROM docs2 WHERE doc_id < 80 OR doc_id >= 100000),
             sh AS (
@@ -4810,6 +4834,22 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dups_lsh": _lsh_bucket_sql(n_planes=8, dim=64),
     }
     # composed-on-composed entries that reuse another oracle's text
+    docs2_body = _DUPS_CTE[5:].split("docs2 AS ", 1)[1]
+    out["canonical_by_quality"] = f"""
+        WITH asn AS ({out["dedup_clusters"]}),
+        scored AS (
+          SELECT a.doc_id, a.component,
+                 CAST(d.n_chars AS DOUBLE) AS score
+          FROM asn a
+          JOIN {docs2_body} d ON a.doc_id = d.doc_id
+        )
+        SELECT doc_id, component, score,
+               row_number() OVER (
+                 PARTITION BY component
+                 ORDER BY score DESC NULLS LAST, doc_id ASC
+               ) = 1 AS is_canonical
+        FROM scored
+    """
     out["dedup_report"] = f"""
         WITH asn AS ({out["dedup_clusters"]}),
         sizes AS (

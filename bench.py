@@ -38,6 +38,7 @@ HEADLINE = [
     "source_overlap",
     "dedup_clusters",
     "dedup_report",
+    "canonical_by_quality",
     "substr_dedup",
     "winnow_pairs",
     "hll_host_cardinality",

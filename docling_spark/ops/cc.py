@@ -189,3 +189,41 @@ def dedup_report(assignments: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def canonical_by(
+    assignments: DataFrame, scores: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """Policy-based canonical selection: keep the BEST-scoring copy of
+    each duplicate cluster instead of the smallest id.
+
+    ``dedup_assignments`` picks min(doc_id) — deterministic but
+    arbitrary; production pipelines (RefinedWeb et al.) keep the copy
+    with the highest quality signal (LM bucket, readability, length).
+    Given (doc_id, component) and a (doc_id, score) frame, the winner
+    per component is the max score with doc_id as the deterministic
+    tie-break.
+
+    Output: (doc_id, component, score, is_canonical). Scale shape:
+    one join on doc_id + one component-keyed window whose partitions
+    are cluster-sized (near-cliques — bounded), with rank pushdown
+    eligible. Missing scores rank last (NULLs sort after any value in
+    the descending order).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc_nulls_last(), F.col("doc_id").asc()
+    )
+    return (
+        assignments.select("doc_id", "component")
+        .join(scores.select("doc_id", F.col(score_col).alias("score")),
+              "doc_id", "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "score",
+            (F.col("_rn") == 1).alias("is_canonical"),
+        )
+    )

@@ -109,3 +109,28 @@ def test_dedup_report_histogram(spark):
     assert sum(r["n_docs"] for r in rep.values()) == 7
     # total row reduction == docs - components
     assert sum(r["n_removable"] for r in rep.values()) == 3
+
+
+def test_canonical_by_policy(spark):
+    from docling_spark.ops.cc import canonical_by, dedup_assignments
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 9)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0)], "doc_id long, q double"
+    )  # doc 9: no score row at all
+    asn = dedup_assignments(docs, pairs)
+    got = {
+        r["doc_id"]: r
+        for r in canonical_by(asn, scores, score_col="q").collect()
+    }
+    # cluster {1,2,3}: max score 9.0 tie between 2 and 3 -> doc 2 wins
+    assert got[2]["is_canonical"] and not got[1]["is_canonical"]
+    assert not got[3]["is_canonical"]
+    # singleton with a NULL score is still its own canonical
+    assert got[9]["is_canonical"] and got[9]["score"] is None
+    assert sum(r["is_canonical"] for r in got.values()) == 2
