@@ -2153,6 +2153,62 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dashboard: the scalars an operator reads before
+    anything ships — doc count, token/vocab totals (the vocab_stats
+    \\s+ law), exact-dup group count and docs-in-groups (the
+    dedup_exact law), English share, mean Flesch (the readability
+    law, rounded: a 500-term double sum agrees across engines far
+    below 4 dp). Four 1-row aggregates crossJoined — each is a
+    map-side-combining corpus pass; no per-doc rows leave the
+    executors."""
+    docs = _docs(spark, sf_dir)
+    basic = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg((F.col("lang") == "en").cast("double")), 6).alias(
+            "pct_en"
+        ),
+    )
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    vocab = toks.agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("tok").alias("vocab_size"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("digest"))
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > 1, 1).otherwise(0)).alias(
+                "dup_groups"
+            ),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0)).alias(
+                "docs_in_dup_groups"
+            ),
+        )
+    )
+    from docling_spark.ops.readability import readability
+
+    fl = readability(docs).agg(
+        F.round(F.avg("flesch"), 4).alias("mean_flesch")
+    )
+    return (
+        basic.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(fl))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "vocab_size",
+            "dup_groups",
+            "docs_in_dup_groups",
+            "pct_en",
+            "mean_flesch",
+        )
+    )
+
+
 def q_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy-based cluster canonicals (ops/cc.canonical_by): the same
     LSH+chain component assignment as dedup_clusters, but the kept
@@ -2712,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "corpus_report": q_corpus_report,  # one-row operator dashboard
         "canonical_by_quality": q_canonical_by_quality,  # keep-best-copy policy
         "ngram_novelty": q_ngram_novelty,  # Dolma-style originality scalar
         "cms_token_counts": q_cms_token_counts,  # engine-exact CMS heavy-hitter audit
@@ -4835,6 +4892,41 @@ def oracle_sql() -> dict[str, str]:
     }
     # composed-on-composed entries that reuse another oracle's text
     docs2_body = _DUPS_CTE[5:].split("docs2 AS ", 1)[1]
+    out["corpus_report"] = f"""
+        WITH rd AS ({out["readability"]}),
+        basic AS (
+          SELECT count(*) AS n_docs,
+                 round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6)
+                   AS pct_en
+          FROM documents
+        ),
+        toks AS (
+          SELECT t.tok
+          FROM documents d,
+               UNNEST(string_split_regex(lower(d.text), '\\s+')) AS t(tok)
+          WHERE length(t.tok) > 0
+        ),
+        vocab AS (
+          SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+                 count(DISTINCT tok) AS vocab_size
+          FROM toks
+        ),
+        dg AS (
+          SELECT md5(text) AS digest, count(*) AS n
+          FROM documents GROUP BY md5(text)
+        ),
+        dups AS (
+          SELECT CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dup_groups,
+                 CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS docs_in_dup_groups
+          FROM dg
+        ),
+        fl AS (SELECT round(avg(flesch), 4) AS mean_flesch FROM rd)
+        SELECT n_docs, total_tokens, vocab_size, dup_groups,
+               docs_in_dup_groups, pct_en, mean_flesch
+        FROM basic, vocab, dups, fl
+    """
     out["canonical_by_quality"] = f"""
         WITH asn AS ({out["dedup_clusters"]}),
         scored AS (

@@ -76,6 +76,7 @@ HEADLINE = [
     "epoch_schedule",
     "shard_plan",
     "pipeline_e2e",
+    "corpus_report",
     "pipeline_incremental",
     "para_dedup",
     "snapshot_delta",
