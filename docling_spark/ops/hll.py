@@ -39,7 +39,12 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_cardinality", "hll_cardinality_oracle_sql"]
+__all__ = [
+    "hll_cardinality",
+    "hll_registers",
+    "hll_estimate_from_registers",
+    "hll_cardinality_oracle_sql",
+]
 
 _HEX = "0123456789abcdef"
 
@@ -74,16 +79,18 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_cardinality(
+def hll_registers(
     df: DataFrame,
     key_col: str,
     group_cols: "list[str] | None" = None,
     b: int = 10,
 ) -> DataFrame:
-    """HLL distinct-count estimate of ``key_col`` (optionally per
-    ``group_cols``). Output: group cols + (m, n_registers, sum_inv,
-    estimate)."""
-    m = 1 << b
+    """The sketch STATE: (group cols, bucket, reg) — max rho per
+    bucket. This is the mergeable table an incremental deployment
+    persists/streams (max is idempotent and commutative, so register
+    tables from any partition of the data — micro-batches, shards,
+    days — merge by another max); the estimate is a read-time rollup
+    (:func:`hll_estimate_from_registers`)."""
     low_bits = 32 - b
     gcols = list(group_cols or [])
     val = _md5int32(F.col(key_col))
@@ -94,11 +101,21 @@ def hll_cardinality(
         rho = F.when(w >= F.lit(1 << (low_bits - p)), F.lit(p)).otherwise(
             rho
         )
-    regs = (
+    return (
         df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: "list[str] | None" = None,
+    b: int = 10,
+) -> DataFrame:
+    """Roll a register table up to the estimate row(s)."""
+    m = 1 << b
+    gcols = list(group_cols or [])
     alpha = _alpha(m)
     merged = regs.groupBy(*gcols).agg(
         F.count("*").alias("n_registers"),
@@ -120,6 +137,23 @@ def hll_cardinality(
         "n_registers",
         sum_inv.alias("sum_inv"),
         estimate.alias("estimate"),
+    )
+
+
+def hll_cardinality(
+    df: DataFrame,
+    key_col: str,
+    group_cols: "list[str] | None" = None,
+    b: int = 10,
+) -> DataFrame:
+    """HLL distinct-count estimate of ``key_col`` (optionally per
+    ``group_cols``). Output: group cols + (m, n_registers, sum_inv,
+    estimate). Composed as registers → read-time rollup (see
+    :func:`hll_registers`)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols=group_cols, b=b),
+        group_cols=group_cols,
+        b=b,
     )
 
 

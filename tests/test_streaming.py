@@ -417,3 +417,52 @@ def test_cdc_worklist_stream_batch_parity_across_restart(spark, tmp_path):
     assert "u0" not in got and "u15" not in got
     assert got["u5"] == ("changed", b"v2-5")
     assert got["n9"] == ("added", b"brand")
+
+
+def test_hll_sketch_stream_batch_parity(spark, tmp_path):
+    """The HLL register table is MERGEABLE state — max per bucket is a
+    standard streaming aggregation, so the sketch built across
+    micro-batches (one file per trigger), rolled up at read time,
+    must equal the batch sketch bit-for-bit: same registers, same
+    dyadic-exact harmonic sum, same estimate. That mergeability is the whole point of using a sketch
+    for incremental crawl telemetry."""
+    from docling_spark.ops.hll import hll_cardinality
+
+    inp = str(tmp_path / "hll_in")
+    ckpt = str(tmp_path / "hll_ckpt")
+    keys = spark.createDataFrame(
+        [(f"url-{i % 700}",) for i in range(2000)], "k string"
+    )
+    # three separate files -> three micro-batches
+    for lo, hi in [(0, 600), (600, 1300), (1300, 2000)]:
+        spark.createDataFrame(
+            [(f"url-{i % 700}",) for i in range(lo, hi)], "k string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream_in = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    # the REGISTER table is the streaming state (one stateful agg —
+    # streaming rejects chained stateful operators, and production
+    # persists registers anyway, estimating at read time)
+    from docling_spark.ops.hll import hll_estimate_from_registers, hll_registers
+
+    regs = hll_registers(stream_in, "k", b=8)
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    (got,) = hll_estimate_from_registers(
+        spark.sql("SELECT * FROM hll_stream"), b=8
+    ).collect()
+    (want,) = hll_cardinality(keys, "k", b=8).collect()
+    assert got["n_registers"] == want["n_registers"]
+    assert got["sum_inv"] == want["sum_inv"]  # dyadic: bit-identical
+    assert got["estimate"] == want["estimate"]
