@@ -2153,6 +2153,26 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, k=8, threshold=0.8)
 
 
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by CMS inner product (ops/cms.cms_join_size,
+    Cormode-Muthukrishnan §4.2): planner telemetry — estimate the pair
+    count of an equi-join from two <= d*w counter tables without
+    touching the keys, never underestimating; the exact inner product
+    joins alongside as the collision audit. Sides: events.user_id vs
+    orders.o_custkey (a realistic fact-fact key overlap)."""
+    from docling_spark.ops.cms import cms_join_size
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.col("user_id").cast("string").alias("k"))
+    )
+    od = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_custkey").cast("string").alias("k"))
+    )
+    return cms_join_size(ev, od, "k", d=4, w=256)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus dashboard: the scalars an operator reads before
     anything ships — doc count, token/vocab totals (the vocab_stats
@@ -2768,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_extract": q_xlsx_extract,  # byte-parity via 4/4 xlsx goldens (pytest)
         "ngram_jaccard": q_ngram_jaccard,  # capped verifier for lsh_dup_pairs
         "containment_pairs": q_containment_pairs,  # syndication/quote asymmetry
+        "cms_join_size": q_cms_join_size,  # sketch join-size planner telemetry
         "corpus_report": q_corpus_report,  # one-row operator dashboard
         "canonical_by_quality": q_canonical_by_quality,  # keep-best-copy policy
         "ngram_novelty": q_ngram_novelty,  # Dolma-style originality scalar
@@ -3226,6 +3247,18 @@ def _crawl_plan_oracle() -> str:
         _hash_frac_sql(SLOT_SALT, key="a.host"),
         fetchers=16,
         default_delay_s=1.0,
+    )
+
+
+def _cms_join_size_oracle() -> str:
+    from docling_spark.ops.cms import cms_join_size_oracle_sql
+
+    return cms_join_size_oracle_sql(
+        "SELECT CAST(user_id AS VARCHAR) AS k FROM events",
+        "SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders",
+        key="k",
+        d=4,
+        w=256,
     )
 
 
@@ -4606,6 +4639,7 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(n_shared AS DOUBLE) / n_shingles AS novelty
             FROM per_doc
         """,
+        "cms_join_size": _cms_join_size_oracle(),
         "cms_token_counts": _cms_oracle(),
         "hll_host_cardinality": _hll_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),

@@ -43,6 +43,7 @@ HEADLINE = [
     "winnow_pairs",
     "hll_host_cardinality",
     "cms_token_counts",
+    "cms_join_size",
     "ngram_novelty",
     "semdedup",
     "phash_dedup",

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "cms_counters",
     "cms_estimates",
+    "cms_join_size",
     "cms_estimates_oracle_sql",
+    "cms_join_size_oracle_sql",
 ]
 
 _HEX = "0123456789abcdef"
@@ -172,4 +174,106 @@ def cms_estimates_oracle_sql(
                CAST(e.est - coalesce(t.true_cnt, 0) AS BIGINT)
                  AS overestimate
         FROM est e LEFT JOIN tc t ON e.key = t.key
+    """
+
+
+def cms_join_size(
+    keys_a: DataFrame,
+    keys_b: DataFrame,
+    key_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Join-size estimation by CMS inner product (Cormode &
+    Muthukrishnan §4.2): ``|A ⋈ B|`` — the number of matching row
+    pairs of an equi-join — is the inner product of the two frequency
+    vectors, and the sketch estimate ``min_r Σ_c cntA[r,c]·cntB[r,c]``
+    never underestimates it. This is PLANNER telemetry: deciding
+    broadcast-vs-shuffle or pre-sizing a shuffle for a 10^12-row join
+    without touching the keys — each side is summarized by ≤ d·w
+    counters regardless of size.
+
+    Output (one row): est_pairs, true_pairs, overestimate — the exact
+    inner product joined alongside as the collision audit (computed
+    from per-key counts; fine at oracle scale, the thing the sketch
+    avoids at production scale). All integer arithmetic — engine-exact.
+    """
+    a = cms_counters(keys_a, key_col, d=d, w=w)
+    b = cms_counters(keys_b, key_col, d=d, w=w)
+    dots = (
+        a.alias("a")
+        .join(b.alias("b"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("dot"))
+    )
+    # a row with NO overlapping cells has dot = 0 (disjoint key sets
+    # hash-separate on that row) — the inner join drops it, so min()
+    # over present rows alone would overestimate; spine in all d rows.
+    spine = keys_a.sparkSession.range(d).select(
+        F.col("id").cast("int").alias("r")
+    )
+    est = (
+        spine.join(dots, "r", "left")
+        .agg(F.min(F.coalesce(F.col("dot"), F.lit(0))).alias("est_pairs"))
+    )
+    ta = keys_a.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    tb = keys_b.groupBy(F.col(key_col).alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    true = ta.join(tb, "k").agg(
+        F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0)).alias(
+            "true_pairs"
+        )
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "est_pairs",
+        "true_pairs",
+        (F.col("est_pairs") - F.col("true_pairs")).alias("overestimate"),
+    )
+
+
+def cms_join_size_oracle_sql(
+    a_cte: str, b_cte: str, key: str = "key", d: int = 4, w: int = 512
+) -> str:
+    """DuckDB mirror of :func:`cms_join_size`."""
+
+    def cell(src: str) -> str:
+        parts = []
+        for i in range(d):
+            hashed = _md5int32_sql(f"'{i}:' || {key}")
+            parts.append(
+                f"SELECT {key}, {i} AS r, "
+                f"CAST({hashed} % {w} AS INT) AS c FROM {src}"
+            )
+        return " UNION ALL ".join(parts)
+
+    return f"""
+        WITH ka AS ({a_cte}),
+        kb AS ({b_cte}),
+        ca AS (SELECT r, c, count(*) AS cnt
+               FROM ({cell("ka")}) GROUP BY r, c),
+        cb AS (SELECT r, c, count(*) AS cnt
+               FROM ({cell("kb")}) GROUP BY r, c),
+        dots AS (
+          SELECT a.r, sum(a.cnt * b.cnt) AS dot
+          FROM ca a JOIN cb b ON a.r = b.r AND a.c = b.c
+          GROUP BY a.r
+        ),
+        spine AS (SELECT unnest(range({d})) AS r),
+        est AS (
+          SELECT CAST(min(coalesce(dot, 0)) AS BIGINT) AS est_pairs
+          FROM spine LEFT JOIN dots ON spine.r = dots.r
+        ),
+        ta AS (SELECT {key} AS k, count(*) AS na FROM ka GROUP BY {key}),
+        tb AS (SELECT {key} AS k, count(*) AS nb FROM kb GROUP BY {key}),
+        tr AS (
+          SELECT CAST(coalesce(sum(ta.na * tb.nb), 0) AS BIGINT)
+                   AS true_pairs
+          FROM ta JOIN tb ON ta.k = tb.k
+        )
+        SELECT est_pairs, true_pairs,
+               est_pairs - true_pairs AS overestimate
+        FROM est, tr
     """

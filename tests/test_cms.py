@@ -91,3 +91,57 @@ def test_plan_mapside_no_python(spark):
     )
     assert "Python" not in plan
     assert "partial" in plan.lower()
+
+
+def test_join_size_guarantee_and_disjoint(spark):
+    from docling_spark.ops.cms import cms_join_size
+
+    a = _keys(spark, ["x"] * 3 + ["y"] * 2 + ["only-a"])
+    b = _keys(spark, ["x"] * 4 + ["y"] * 1 + ["only-b"] * 5)
+    (r,) = cms_join_size(a, b, "k", d=4, w=64).collect()
+    assert r["true_pairs"] == 3 * 4 + 2 * 1
+    assert r["est_pairs"] >= r["true_pairs"]  # one-sided guarantee
+    # fully disjoint sides in a roomy sketch: estimate collapses to 0
+    c = _keys(spark, [f"a{i}" for i in range(5)])
+    e = _keys(spark, [f"b{i}" for i in range(5)])
+    (r2,) = cms_join_size(c, e, "k", d=4, w=512).collect()
+    assert r2["true_pairs"] == 0 and r2["est_pairs"] == 0
+
+
+def test_cms_stream_batch_parity(spark, tmp_path):
+    """CMS counters are mergeable by SUM — a streaming count(*) per
+    (r, c) across micro-batches IS the merged sketch; pin equality
+    with the batch counters."""
+    from docling_spark.ops.cms import cms_counters
+
+    inp = str(tmp_path / "cms_in")
+    ckpt = str(tmp_path / "cms_ckpt")
+    occ = [f"tok{i % 11}" for i in range(300)]
+    for lo, hi in [(0, 100), (100, 200), (200, 300)]:
+        spark.createDataFrame(
+            [(k,) for k in occ[lo:hi]], "k string"
+        ).coalesce(1).write.mode("append").parquet(inp)
+    stream_in = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+    q = (
+        cms_counters(stream_in, "k", d=3, w=32)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {
+        (r["r"], r["c"]): r["cnt"]
+        for r in cms_counters(_keys(spark, occ), "k", d=3, w=32).collect()
+    }
+    assert got == want and len(got) > 0
