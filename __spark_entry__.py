@@ -1892,6 +1892,80 @@ def q_curate_web(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-gate ablation over the curate_web stages: how many docs
+    each gate rejects, and how many it UNIQUELY rejects (the docs only
+    it catches) — the table a curation team reads before removing or
+    re-tuning a gate; first-failing reasons cannot answer it, so the
+    independent stage verdicts are aggregated directly. One agg row
+    exploded into one row per gate; stage frames are the same slim
+    verdict joins as curate_web."""
+    from docling_spark.ops import lm_quality as lmq
+    from docling_spark.ops import urlfilter
+    from docling_spark.ops.webtext import (
+        gopher_filter,
+        repetition_signals,
+        synth_webtext,
+    )
+
+    wt = synth_webtext(spark, sf_dir)
+    gq = gopher_filter(repetition_signals(wt)).select(
+        "doc_id", (F.col("reject_reason") != "keep").alias("r_gopher")
+    )
+    uf = urlfilter.url_filter(
+        urlfilter.synth_urls(wt.select("doc_id")),
+        urlfilter.blocked_domains(spark),
+    ).select("doc_id", (F.col("reason") != "keep").alias("r_url"))
+    lm = lmq.train_unigram_lm(
+        wt.filter(F.col("doc_id") < 300), text_col="wtext"
+    )
+    lb = lmq.lm_score(wt, lm, text_col="wtext", head=3.3, tail=9.0).select(
+        "doc_id", (F.col("bucket") == "tail").alias("r_lm")
+    )
+    j = uf.join(gq, "doc_id").join(lb, "doc_id")
+    i = lambda c: c.cast("int")
+    agg = j.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(i(F.col("r_url"))).alias("url_rej"),
+        F.sum(i(F.col("r_url") & ~F.col("r_gopher") & ~F.col("r_lm"))).alias(
+            "url_uniq"
+        ),
+        F.sum(i(F.col("r_gopher"))).alias("gopher_rej"),
+        F.sum(i(F.col("r_gopher") & ~F.col("r_url") & ~F.col("r_lm"))).alias(
+            "gopher_uniq"
+        ),
+        F.sum(i(F.col("r_lm"))).alias("lm_rej"),
+        F.sum(i(F.col("r_lm") & ~F.col("r_url") & ~F.col("r_gopher"))).alias(
+            "lm_uniq"
+        ),
+        F.sum(i(~F.col("r_url") & ~F.col("r_gopher") & ~F.col("r_lm"))).alias(
+            "n_pass_all"
+        ),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit("url").alias("gate"),
+            F.col("url_rej").alias("n_rejected"),
+            F.col("url_uniq").alias("n_unique_rejected"),
+        ),
+        F.struct(
+            F.lit("gopher").alias("gate"),
+            F.col("gopher_rej").alias("n_rejected"),
+            F.col("gopher_uniq").alias("n_unique_rejected"),
+        ),
+        F.struct(
+            F.lit("lm").alias("gate"),
+            F.col("lm_rej").alias("n_rejected"),
+            F.col("lm_uniq").alias("n_unique_rejected"),
+        ),
+    )
+    return agg.select(
+        F.explode(rows).alias("g"), "n_docs", "n_pass_all"
+    ).select(
+        "g.gate", "g.n_rejected", "g.n_unique_rejected", "n_docs", "n_pass_all"
+    )
+
+
 def q_domain_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain reputation rollup (the RefinedWeb/FineWeb domain-prior
     table): the composed curate_web verdicts aggregated by crawl host —
@@ -2731,6 +2805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "lang_rebalance": q_lang_rebalance,  # temperature mix, computed rates
         "curate_web": q_curate_web,
+        "gate_ablation": q_gate_ablation,  # per-gate unique-catch table
         "pipeline_e2e": q_pipeline_e2e,
         "decontam": q_decontam,
         "decontam_scrub": q_decontam_scrub,
@@ -3073,12 +3148,18 @@ def _pipeline_e2e_oracle() -> str:
     """
 
 
-def _curate_web_oracle() -> str:
-    """Composite oracle: the three stage oracles as nested CTEs joined
-    on doc_id, same stage order and reason prefixes as q_curate_web."""
-    from docling_spark.ops.webtext import SIGNALS_ORACLE_SQL, WEBTEXT_CTE_SQL
+def _curate_stage_ctes(signals_sql: str, lm_cte: str) -> str:
+    """The shared per-stage verdict CTE chain (gopher / url / lm) that
+    curate_web and the gate ablation both read."""
+    return f"""g AS ({signals_sql}),
+        u AS ({_urlfilter_oracle()}),
+        l AS ({lm_cte})"""
 
-    lm_cte = f"""
+
+def _curate_lm_cte() -> str:
+    from docling_spark.ops.webtext import WEBTEXT_CTE_SQL
+
+    return f"""
       WITH {WEBTEXT_CTE_SQL},
       rw AS (
         SELECT unnest(string_split_regex(lower(wtext), '\\s+')) AS token
@@ -3104,10 +3185,49 @@ def _curate_web_oracle() -> str:
                   ELSE 'tail' END AS bucket
       FROM s
     """
+
+
+def _gate_ablation_oracle() -> str:
+    from docling_spark.ops.webtext import SIGNALS_ORACLE_SQL
+
     return f"""
-        WITH g AS ({SIGNALS_ORACLE_SQL}),
-        u AS ({_urlfilter_oracle()}),
-        l AS ({lm_cte})
+        WITH {_curate_stage_ctes(SIGNALS_ORACLE_SQL, _curate_lm_cte())},
+        j AS (
+          SELECT g.doc_id,
+                 u.reason != 'keep' AS r_url,
+                 g.reject_reason != 'keep' AS r_gopher,
+                 l.bucket = 'tail' AS r_lm
+          FROM g JOIN u USING (doc_id) JOIN l USING (doc_id)
+        ),
+        a AS (
+          SELECT count(*) AS n_docs,
+                 CAST(sum(CASE WHEN r_url THEN 1 ELSE 0 END) AS BIGINT) AS url_rej,
+                 CAST(sum(CASE WHEN r_url AND NOT r_gopher AND NOT r_lm THEN 1 ELSE 0 END) AS BIGINT) AS url_uniq,
+                 CAST(sum(CASE WHEN r_gopher THEN 1 ELSE 0 END) AS BIGINT) AS gopher_rej,
+                 CAST(sum(CASE WHEN r_gopher AND NOT r_url AND NOT r_lm THEN 1 ELSE 0 END) AS BIGINT) AS gopher_uniq,
+                 CAST(sum(CASE WHEN r_lm THEN 1 ELSE 0 END) AS BIGINT) AS lm_rej,
+                 CAST(sum(CASE WHEN r_lm AND NOT r_url AND NOT r_gopher THEN 1 ELSE 0 END) AS BIGINT) AS lm_uniq,
+                 CAST(sum(CASE WHEN NOT r_url AND NOT r_gopher AND NOT r_lm THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+          FROM j
+        )
+        SELECT t.gate, t.n_rejected, t.n_unique_rejected, a.n_docs, a.n_pass_all
+        FROM a, LATERAL (
+          SELECT 'url' AS gate, url_rej AS n_rejected, url_uniq AS n_unique_rejected
+          UNION ALL
+          SELECT 'gopher', gopher_rej, gopher_uniq
+          UNION ALL
+          SELECT 'lm', lm_rej, lm_uniq
+        ) t
+    """
+
+
+def _curate_web_oracle() -> str:
+    """Composite oracle: the three stage oracles as nested CTEs joined
+    on doc_id, same stage order and reason prefixes as q_curate_web."""
+    from docling_spark.ops.webtext import SIGNALS_ORACLE_SQL
+
+    return f"""
+        WITH {_curate_stage_ctes(SIGNALS_ORACLE_SQL, _curate_lm_cte())}
         SELECT g.doc_id,
                CASE WHEN u.reason != 'keep' THEN 'url:' || u.reason
                     WHEN g.reject_reason != 'keep'
@@ -4399,6 +4519,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_hash_frac_sql('rebal:')} < r.rate
         """,
         "curate_web": _curate_web_oracle(),
+        "gate_ablation": _gate_ablation_oracle(),
         "pipeline_e2e": _pipeline_e2e_oracle(),
         "decontam": f"""
             WITH {_DUPS_CTE[5:]},

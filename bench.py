@@ -72,6 +72,7 @@ HEADLINE = [
     "corpus_mix",
     "lang_rebalance",
     "curate_web",
+    "gate_ablation",
     "domain_reputation",
     "domain_buckets",
     "epoch_schedule",
