@@ -2532,6 +2532,14 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.fingerprint(_docs(spark, sf_dir))
 
 
+def q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed doc-size histogram (ops/textstats.size_histogram):
+    binary-string-length bucketing (integer-exact, no floating log),
+    the partition-sizing / giant-blob early-warning table. One
+    map-side agg, ~40 rows out at any scale."""
+    return textstats.size_histogram(_docs(spark, sf_dir))
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary profile (ops/textstats.vocab_topk): the
     Zipf dashboard — global top-50 tokens with deterministic tie-break
@@ -2851,6 +2859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_due": q_recrawl_due,  # publisher-hint refresh frontier
         "wet_export": q_wet_export,  # WET conversion-record sink law
         "dedup_report": q_dedup_report,  # cluster-size histogram audit
+        "size_histogram": q_size_histogram,  # log2 doc-size distribution
         "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
         "readability": q_readability,  # ARI/Coleman-Liau/Flesch grade battery
         "script_mix": q_script_mix,  # Unicode script routing profile
@@ -4908,6 +4917,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fp_md5, sha256(text) AS fp_sha256,
                    md5(substring(text, 1, 64)) AS fp_prefix64
             FROM documents
+        """,
+        "size_histogram": """
+            WITH bk AS (
+              SELECT CASE WHEN n_chars <= 0 THEN 0
+                          ELSE length(bin(CAST(n_chars AS BIGINT))) END
+                       AS bucket,
+                     n_chars
+              FROM documents
+            )
+            SELECT bucket,
+                   CASE WHEN bucket = 0 THEN 0
+                        ELSE CAST(power(2, bucket - 1) AS BIGINT) END
+                     AS lo_chars,
+                   CASE WHEN bucket = 0 THEN 0
+                        ELSE CAST(power(2, bucket) AS BIGINT) - 1 END
+                     AS hi_chars,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM bk GROUP BY bucket
         """,
         "vocab_stats": """
             WITH toks AS (

@@ -96,6 +96,7 @@ HEADLINE = [
     "lang_id",
     "lang_confusion",
     "vocab_stats",
+    "size_histogram",
     "readability",
     "script_mix",
     "code_switch",

@@ -145,3 +145,47 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
             "rate"
         ),
     )
+
+
+def size_histogram(docs: DataFrame) -> DataFrame:
+    """Log2-bucketed document-size distribution — the partition-sizing
+    dashboard: `spark.sql.files.maxPartitionBytes`, Arrow batch sizes
+    and the giant-blob skew lane (job.py) are all tuned off exactly
+    this table, and a fat tail bucket is the early warning for
+    straggler tasks.
+
+    Bucket = floor(log2(n_chars)) + 1, computed as the LENGTH OF THE
+    BINARY REPRESENTATION (``conv``/``bin`` string length) — integer-
+    exact on both engines, never a floating log that could round a
+    power of two across the boundary. Empty docs land in bucket 0.
+
+    Output per bucket: lo/hi char bounds, n_docs, total_chars.
+    One map-side-combining agg; ~40 rows out at any corpus scale.
+    """
+    n = F.col("n_chars")
+    bucket = (
+        F.when(n <= 0, F.lit(0))
+        .otherwise(F.length(F.conv(n.cast("string"), 10, 2)))
+        .cast("int")
+    )
+    return (
+        docs.select(bucket.alias("bucket"), n)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "bucket",
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket") - 1))
+            .cast("bigint")
+            .alias("lo_chars"),
+            F.when(F.col("bucket") == 0, F.lit(0))
+            .otherwise(F.pow(F.lit(2.0), F.col("bucket")) - 1)
+            .cast("bigint")
+            .alias("hi_chars"),
+            "n_docs",
+            "total_chars",
+        )
+    )

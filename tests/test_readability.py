@@ -163,3 +163,24 @@ def test_plan_zero_shuffle_zero_python(spark):
     plan = readability(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan  # no UDF crossing: pure JVM expressions
+
+
+def test_size_histogram_buckets(spark):
+    from docling_spark.ops.textstats import size_histogram
+
+    rows = [(0, 0), (1, 1), (2, 1), (3, 7), (4, 8), (5, 1023), (6, 1024)]
+    df = spark.createDataFrame(
+        [(i, "x" * n if n else "") for i, n in rows],
+        "doc_id long, text string",
+    ).selectExpr("doc_id", "length(text) AS n_chars")
+    got = {r["bucket"]: r for r in size_histogram(df).collect()}
+    assert got[0]["n_docs"] == 1 and got[0]["lo_chars"] == 0
+    assert got[1]["n_docs"] == 2  # n=1 twice
+    assert got[1]["lo_chars"] == 1 and got[1]["hi_chars"] == 1
+    assert got[3]["n_docs"] == 1  # n=7 -> bucket 3 (4..7)
+    assert got[3]["lo_chars"] == 4 and got[3]["hi_chars"] == 7
+    assert got[4]["n_docs"] == 1 and got[4]["lo_chars"] == 8
+    # power-of-two boundary: 1023 -> bucket 10, 1024 -> bucket 11
+    assert got[10]["n_docs"] == 1 and got[10]["hi_chars"] == 1023
+    assert got[11]["n_docs"] == 1 and got[11]["lo_chars"] == 1024
+    assert sum(r["n_docs"] for r in got.values()) == 7
