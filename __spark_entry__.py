@@ -1170,6 +1170,48 @@ def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining (ops/urlnorm.url_patterns): digit/hex runs
+    collapse to {n}/{h}, per-host pattern counts, spider-trap flag
+    (many urls at high depth). Synth corpus: a calendar trap host, a
+    hex-session host, and normal per-host pages."""
+    from docling_spark.ops.urlnorm import url_patterns
+
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("https://trap.test/archive/"),
+                (2000 + d % 25).cast("string"),
+                F.lit("/"),
+                (1 + d % 12).cast("string"),
+                F.lit("/"),
+                (1 + d % 28).cast("string"),
+                F.lit("/index.html"),
+            ),
+        )
+        .when(
+            d % 11 == 1,
+            F.concat(
+                F.lit("https://sess.test/s/deadbeef"),
+                F.lpad((d * 7).cast("string"), 8, "0"),
+                F.lit("/view"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"),
+                (d % 5).cast("string"),
+                F.lit(".test/page-"),
+                d.cast("string"),
+            )
+        )
+    )
+    urls = _docs(spark, sf_dir).select(url.alias("url"))
+    return url_patterns(urls, trap_min_urls=100, trap_min_depth=4)
+
+
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + crawl-snapshot dedup (ops/urlnorm.py):
     fragment/tracking-param/default-port/case/path normalization as one
@@ -2806,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "domain_cap": q_domain_cap,
         "url_filter": q_url_filter,
+        "url_patterns": q_url_patterns,  # spider-trap template mining
         "canonical_dedup": q_canonical_dedup,
         "link_graph": q_link_graph,
         "quality_classifier": q_quality_classifier,
@@ -3426,6 +3469,46 @@ def _winnow_pairs_oracle() -> str:
         "WHERE doc_id < 50"
     )
     return winnow_pairs_oracle_sql(docs, k=5, w=4, min_shared=5)
+
+
+def _url_patterns_oracle() -> str:
+    return """
+        WITH u AS (
+          SELECT CASE
+            WHEN doc_id % 3 = 0 THEN
+              'https://trap.test/archive/' || CAST(2000 + doc_id % 25 AS VARCHAR)
+              || '/' || CAST(1 + doc_id % 12 AS VARCHAR)
+              || '/' || CAST(1 + doc_id % 28 AS VARCHAR) || '/index.html'
+            WHEN doc_id % 11 = 1 THEN
+              'https://sess.test/s/deadbeef'
+              || lpad(CAST(doc_id * 7 AS VARCHAR), 8, '0') || '/view'
+            ELSE 'https://site' || CAST(doc_id % 5 AS VARCHAR)
+                 || '.test/page-' || CAST(doc_id AS VARCHAR)
+          END AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+                 regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
+                   '[0-9a-fA-F]{8,}', '{h}', 'g'),
+                   '[0-9]+', '{n}', 'g') AS pattern
+          FROM u
+        ),
+        d AS (
+          SELECT host, pattern,
+                 CAST(len(list_filter(string_split(
+                   regexp_extract(pattern, '^([^?]*)', 1), '/'),
+                   s -> s != '')) AS INT) AS depth
+          FROM p
+        )
+        SELECT host, pattern, depth,
+               count(*) AS n_urls,
+               (count(*) >= 100 AND depth >= 4) AS is_trap
+        FROM d GROUP BY host, pattern, depth
+    """
 
 
 def _crawl_frontier_oracle() -> str:
@@ -4389,6 +4472,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, domain, rank, rank <= 3 AS kept FROM r
         """,
         "url_filter": _urlfilter_oracle(),
+        "url_patterns": _url_patterns_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "frontier_load": _frontier_load_oracle(),
         "epoch_schedule": """

@@ -56,6 +56,7 @@ HEADLINE = [
     "crawl_plan",
     "frontier_load",
     "canonical_dedup",
+    "url_patterns",
     "link_graph",
     "hits_scores",
     "triangles",

@@ -310,3 +310,61 @@ def canonical_dedup_oracle_sql(corpus_cte: str = MESSY_URLS_CTE_SQL) -> str:
         CAST(n_snapshots AS BIGINT) AS n_snapshots
     FROM ranked WHERE rn = 1
     """
+
+
+def url_patterns(
+    urls: DataFrame, trap_min_urls: int = 100, trap_min_depth: int = 4
+) -> DataFrame:
+    """URL template mining: collapse variable parts and count per-host
+    patterns — the spider-trap / faceted-explosion detector.
+
+    Crawl frontiers die on URL *templates*, not URLs: calendar pages
+    (``/2026/08/19``), faceted search (``?page=913``), session paths —
+    one template generating unbounded URLs. Collapsing digit runs to
+    ``{n}`` and hex-ish runs (>= 8 hex chars) to ``{h}`` in the
+    path+query turns millions of trap URLs into one counted pattern;
+    a pattern with many URLs at high path depth is flagged for the
+    frontier to cap (the ``ops/frontier.py`` per-host budget's natural
+    refinement).
+
+    Output per (host, pattern): n_urls, depth, is_trap. Scale shape:
+    one in-row projection + one map-side-combining agg on
+    (host, pattern) — the group count is bounded by TEMPLATE count,
+    which is what makes this table small when the frontier is not.
+    """
+    host = F.lower(
+        F.regexp_extract(
+            F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+        )
+    )
+    pathq = F.regexp_extract(
+        F.col("url"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)", 1
+    )
+    pattern = F.regexp_replace(
+        F.regexp_replace(pathq, r"[0-9a-fA-F]{8,}", "{h}"),
+        r"[0-9]+",
+        "{n}",
+    )
+    depth = F.size(
+        F.filter(
+            F.split(F.regexp_extract(pattern, r"^([^?]*)", 1), "/"),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    agged = (
+        urls.select(
+            host.alias("host"), pattern.alias("pattern"), depth.alias("depth")
+        )
+        .groupBy("host", "pattern", "depth")
+        .agg(F.count("*").alias("n_urls"))
+    )
+    return agged.select(
+        "host",
+        "pattern",
+        "depth",
+        "n_urls",
+        (
+            (F.col("n_urls") >= trap_min_urls)
+            & (F.col("depth") >= trap_min_depth)
+        ).alias("is_trap"),
+    )

@@ -133,3 +133,24 @@ def test_malformed_urls_stay_themselves(spark):
         [(u, ts) for u in raws if u], "url string, warc_ts timestamp"
     )
     assert canonical_dedup(df).count() == len([u for u in raws if u])
+
+
+def test_url_patterns_trap_mining(spark):
+    from docling_spark.ops.urlnorm import url_patterns
+
+    rows = (
+        [(f"https://t.test/cal/20{i:02d}/{1 + i % 12}/x",) for i in range(120)]
+        + [("https://t.test/about",)]
+        + [(f"https://s.test/s/deadbeefcafe{i:04d}/v",) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "url string")
+    got = {
+        (r["host"], r["pattern"]): r
+        for r in url_patterns(df, trap_min_urls=100, trap_min_depth=3).collect()
+    }
+    trap = got[("t.test", "/cal/{n}/{n}/x")]
+    assert trap["n_urls"] == 120 and trap["depth"] == 4 and trap["is_trap"]
+    assert not got[("t.test", "/about")]["is_trap"]
+    # 16 hex chars collapse to ONE {h} token (hex pass runs first)
+    hexp = got[("s.test", "/s/{h}/v")]
+    assert hexp["n_urls"] == 3 and not hexp["is_trap"]
