@@ -2396,6 +2396,42 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimates(toks, probes, "tok", d=4, w=512)
 
 
+def q_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL merge law VALUE-CHECKED in the gate: union the register
+    tables of two disjoint halves (bucketwise max) and the estimate
+    must equal the whole-corpus sketch bit-for-bit — the property that
+    makes the sketch shard/day/micro-batch composable."""
+    from docling_spark.ops.hll import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+
+    urls = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://u"), (F.col("doc_id") % 311).cast("string")
+        ).alias("url"),
+    )
+    ra = hll_registers(urls.filter(F.col("doc_id") % 2 == 0), "url", b=10)
+    rb = hll_registers(urls.filter(F.col("doc_id") % 2 == 1), "url", b=10)
+    merged = (
+        ra.unionByName(rb).groupBy("bucket").agg(F.max("reg").alias("reg"))
+    )
+    em = hll_estimate_from_registers(merged, b=10).select(
+        F.col("estimate").alias("merged_estimate")
+    )
+    ew = hll_estimate_from_registers(
+        hll_registers(urls, "url", b=10), b=10
+    ).select(F.col("estimate").alias("whole_estimate"))
+    return em.crossJoin(F.broadcast(ew)).select(
+        "merged_estimate",
+        "whole_estimate",
+        (F.col("merged_estimate") == F.col("whole_estimate")).alias(
+            "merge_law_holds"
+        ),
+    )
+
+
 def q_hll_host_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact HyperLogLog (ops/hll.py): per-host distinct-URL
     estimates from md5-register sketches — the scale-telemetry
@@ -2920,6 +2956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_by_quality": q_canonical_by_quality,  # keep-best-copy policy
         "ngram_novelty": q_ngram_novelty,  # Dolma-style originality scalar
         "cms_token_counts": q_cms_token_counts,  # engine-exact CMS heavy-hitter audit
+        "hll_union": q_hll_union,  # register-merge law value-checked
         "hll_host_cardinality": q_hll_host_cardinality,  # engine-exact HLL sketch
         "winnow_pairs": q_winnow_pairs,  # MOSS winnowing passage overlap
         "source_overlap": q_source_overlap,  # cross-source contamination matrix
@@ -3447,6 +3484,20 @@ def _cms_oracle() -> str:
         " AS tok"
     )
     return cms_estimates_oracle_sql(keys, probes, key="tok", d=4, w=512)
+
+
+def _hll_union_oracle() -> str:
+    from docling_spark.ops.hll import hll_union_oracle_sql
+
+    u = ("SELECT doc_id, 'https://u' || CAST(doc_id % 311 AS VARCHAR)"
+         " AS url FROM documents")
+    return hll_union_oracle_sql(
+        f"SELECT url FROM ({u}) WHERE doc_id % 2 = 0",
+        f"SELECT url FROM ({u}) WHERE doc_id % 2 = 1",
+        f"SELECT url FROM ({u})",
+        key="url",
+        b=10,
+    )
 
 
 def _hll_oracle() -> str:
@@ -4855,6 +4906,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_join_size": _cms_join_size_oracle(),
         "cms_token_counts": _cms_oracle(),
+        "hll_union": _hll_union_oracle(),
         "hll_host_cardinality": _hll_oracle(),
         "winnow_pairs": _winnow_pairs_oracle(),
         "source_overlap": """

@@ -42,6 +42,7 @@ HEADLINE = [
     "substr_dedup",
     "winnow_pairs",
     "hll_host_cardinality",
+    "hll_union",
     "cms_token_counts",
     "cms_join_size",
     "ngram_novelty",

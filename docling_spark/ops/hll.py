@@ -205,3 +205,57 @@ def hll_cardinality_oracle_sql(
                END AS estimate
         FROM merged
     """
+
+
+def hll_union_oracle_sql(
+    a_cte: str, b_cte: str, all_cte: str, key: str, b: int = 10
+) -> str:
+    """DuckDB mirror of the register-union law: sketch(A) ∪ sketch(B)
+    (bucketwise max) must estimate identically to sketch(A ∪ B)."""
+    m = 1 << b
+    low_bits = 32 - b
+    alpha = _alpha(m)
+    rho = f"{low_bits + 1}"
+    for p in range(low_bits, 0, -1):
+        rho = f"CASE WHEN w >= {1 << (low_bits - p)} THEN {p} ELSE {rho} END"
+
+    def regs(cte: str, name: str) -> str:
+        return f"""{name} AS (
+          SELECT bucket, max({rho}) AS reg FROM (
+            SELECT CAST(floor(h / {1 << low_bits}) AS INT) AS bucket,
+                   h % {1 << low_bits} AS w
+            FROM (SELECT {_md5int32_sql(key)} AS h FROM ({cte}))
+          ) GROUP BY bucket
+        )"""
+
+    def est(regs_name: str, out: str) -> str:
+        return f"""{out} AS (
+          SELECT sum_present + CAST({m} - n_registers AS DOUBLE) AS sum_inv,
+                 CASE WHEN {alpha * m * m!r}
+                        / (sum_present + CAST({m} - n_registers AS DOUBLE))
+                        <= {2.5 * m!r} AND {m} - n_registers > 0
+                      THEN {float(m)!r} * ln({float(m)!r}
+                             / CAST({m} - n_registers AS DOUBLE))
+                      ELSE {alpha * m * m!r}
+                           / (sum_present + CAST({m} - n_registers AS DOUBLE))
+                 END AS estimate
+          FROM (SELECT count(*) AS n_registers,
+                       sum(power(0.5, reg)) AS sum_present FROM {regs_name})
+        )"""
+
+    return f"""
+        WITH {regs(a_cte, "ra")},
+        {regs(b_cte, "rb")},
+        merged AS (
+          SELECT bucket, max(reg) AS reg
+          FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+          GROUP BY bucket
+        ),
+        {est("merged", "em")},
+        {regs(all_cte, "rw")},
+        {est("rw", "ew")}
+        SELECT em.estimate AS merged_estimate,
+               ew.estimate AS whole_estimate,
+               em.estimate = ew.estimate AS merge_law_holds
+        FROM em, ew
+    """
