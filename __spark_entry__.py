@@ -1017,6 +1017,16 @@ def q_frontier_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frontier_load(urls, fetchers=16, delay_s=1.0, rate_rps=10.0)
 
 
+def q_mix_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lang x source) token accounting (ops/sampling.mix_matrix): the
+    drill-down behind the mix weights — where each language's tokens
+    live, with lang and corpus shares. One map-side agg + broadcast
+    totals."""
+    from docling_spark.ops.sampling import mix_matrix
+
+    return mix_matrix(_docs(spark, sf_dir).select("lang", "source", "text"))
+
+
 def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixing arithmetic (ops/sampling.epoch_schedule):
     per-source target tokens, repeat epochs capped at 4 (Muennighoff
@@ -1149,6 +1159,30 @@ def q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     from docling_spark.ops.sitemap import parse_sitemaps, synth_sitemaps
 
     return parse_sitemaps(synth_sitemaps(spark, list(urlfilter._HOSTS)))
+
+
+def q_frontier_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC → frontier composition: only the snapshot delta (added +
+    changed urls, ops/snapshot.delta_worklist) enters the politeness
+    schedule — the refresh crawl fetches O(delta), never O(corpus),
+    and each delta row carries its CDC status through the plan. The
+    worklist's single synth host makes the queue one politeness
+    sequence; at production host mix the same plan fans out per host."""
+    from docling_spark.ops.frontier import schedule_frontier
+    from docling_spark.ops.snapshot import delta_worklist, synth_snapshots
+
+    old, new = synth_snapshots(spark, sf_dir)
+    wl = delta_worklist(old, new).select(
+        F.regexp_extract(F.col("url"), r"/page/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "url",
+        "status",
+    )
+    sched = schedule_frontier(
+        wl.select("doc_id", "url"), fetchers=8, delay_s=1.0
+    )
+    return sched.join(wl.select("doc_id", "status"), "doc_id")
 
 
 def q_crawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2927,11 +2961,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- driver's 50-row cap; the cap set above is the r5 rebalance)
         "crawl_frontier": q_crawl_frontier,  # politeness fetch schedule
         "frontier_load": q_frontier_load,  # per-slot makespan audit
+        "mix_matrix": q_mix_matrix,  # lang x source token accounting
         "epoch_schedule": q_epoch_schedule,  # token-budget repeat/deficit plan
         "shard_plan": q_shard_plan,  # output sharding evenness audit
         "domain_buckets": q_domain_buckets,  # head/middle/tail composition
         "robotstxt_allow": q_robotstxt_allow,  # RFC 9309 file evaluation
         "robotstxt_delay": q_robotstxt_delay,  # per-host Crawl-delay
+        "frontier_incremental": q_frontier_incremental,  # CDC delta -> schedule
         "crawl_plan": q_crawl_plan,  # composed robots->delay->schedule
         "sitemap_discovery": q_sitemap_discovery,  # robots Sitemap: directives
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
@@ -3445,6 +3481,29 @@ def _robotstxt_delay_oracle() -> str:
     return rt.crawl_delays_oracle_sql(
         rt.SYNTH_ROBOTS_SQL(list(urlfilter._HOSTS)), agent="doclingbot"
     )
+
+
+def _frontier_incremental_oracle() -> str:
+    from docling_spark.ops.frontier import SLOT_SALT, schedule_frontier_oracle_sql
+    from docling_spark.ops.snapshot import delta_worklist_oracle_sql
+
+    wl = f"""
+        SELECT CAST(regexp_extract(url, '/page/(\\d+)$', 1) AS BIGINT)
+                 AS doc_id,
+               url, status
+        FROM ({delta_worklist_oracle_sql()})"""
+    sched = schedule_frontier_oracle_sql(
+        f"SELECT doc_id, url FROM ({wl})",
+        _hash_frac_sql(SLOT_SALT, key="host"),
+        fetchers=8,
+        delay_s=1.0,
+    )
+    return f"""
+        WITH sched AS ({sched}),
+        wl AS ({wl})
+        SELECT s.doc_id, s.url, s.host, s.slot, s.seq, s.start_s, w.status
+        FROM sched s JOIN wl w ON s.doc_id = w.doc_id
+    """
 
 
 def _crawl_plan_oracle() -> str:
@@ -4526,6 +4585,24 @@ def oracle_sql() -> dict[str, str]:
         "url_patterns": _url_patterns_oracle(),
         "crawl_frontier": _crawl_frontier_oracle(),
         "frontier_load": _frontier_load_oracle(),
+        "mix_matrix": """
+            WITH cell AS (
+              SELECT lang, source, count(*) AS n_docs,
+                     CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+              FROM documents GROUP BY lang, source
+            ),
+            lt AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT)
+                     AS lang_tokens FROM cell GROUP BY lang),
+            ct AS (SELECT CAST(sum(n_tokens) AS BIGINT)
+                     AS corpus_tokens FROM cell)
+            SELECT c.lang, c.source, c.n_docs, c.n_tokens,
+                   CAST(c.n_tokens AS DOUBLE) / lt.lang_tokens
+                     AS share_of_lang,
+                   CAST(c.n_tokens AS DOUBLE) / ct.corpus_tokens
+                     AS share_of_corpus
+            FROM cell c JOIN lt ON c.lang = lt.lang, ct
+        """,
         "epoch_schedule": """
             WITH w AS (
               SELECT source,
@@ -4560,6 +4637,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_buckets": _domain_buckets_oracle(),
         "robotstxt_allow": _robotstxt_allow_oracle(),
         "robotstxt_delay": _robotstxt_delay_oracle(),
+        "frontier_incremental": _frontier_incremental_oracle(),
         "crawl_plan": _crawl_plan_oracle(),
         "sitemap_discovery": _sitemap_discovery_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),

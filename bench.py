@@ -55,6 +55,7 @@ HEADLINE = [
     "url_filter",
     "crawl_frontier",
     "crawl_plan",
+    "frontier_incremental",
     "frontier_load",
     "canonical_dedup",
     "url_patterns",
@@ -78,6 +79,7 @@ HEADLINE = [
     "domain_reputation",
     "domain_buckets",
     "epoch_schedule",
+    "mix_matrix",
     "shard_plan",
     "pipeline_e2e",
     "corpus_report",

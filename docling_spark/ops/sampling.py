@@ -306,3 +306,42 @@ def shard_plan_oracle_sql(
         FROM assigned
         GROUP BY shard_id, n_shards, total_bytes
     """
+
+
+def mix_matrix(docs: DataFrame) -> DataFrame:
+    """The (lang × source) token accounting every mixing decision reads:
+    docs, tokens, and each cell's share of its language and of the
+    corpus. ``epoch_schedule`` consumes the per-source rollup; this is
+    the drill-down that says WHERE a language's tokens actually live
+    (one source dominating a language is a diversity risk the mix
+    weights must price in).
+
+    Scale shape: one map-side-combining agg over the corpus + two tiny
+    broadcast total frames. Shares are exact integer ratios cast once.
+    """
+    cell = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    lang_tot = cell.groupBy("lang").agg(
+        F.sum("n_tokens").alias("lang_tokens")
+    )
+    corpus_tot = cell.agg(F.sum("n_tokens").alias("corpus_tokens"))
+    return (
+        cell.join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("lang_tokens").cast("double")
+            ).alias("share_of_lang"),
+            (
+                F.col("n_tokens").cast("double")
+                / F.col("corpus_tokens").cast("double")
+            ).alias("share_of_corpus"),
+        )
+    )

@@ -174,3 +174,25 @@ def test_shard_plan_single_shard_floor(spark):
     docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     (r,) = shard_plan(docs, target_bytes=1e9).collect()
     assert r["n_shards"] == 1 and r["shard_id"] == 0 and r["skew"] == 1.0
+
+
+def test_mix_matrix_shares(spark):
+    from docling_spark.ops.sampling import mix_matrix
+
+    rows = [
+        ("en", "web", "a b c"),      # 3 tokens
+        ("en", "web", "d e"),        # 2
+        ("en", "books", "f g h i"),  # 4
+        ("de", "web", "j"),          # 1
+    ]
+    df = spark.createDataFrame(rows, "lang string, source string, text string")
+    got = {
+        (r["lang"], r["source"]): r for r in mix_matrix(df).collect()
+    }
+    c = got[("en", "web")]
+    assert c["n_docs"] == 2 and c["n_tokens"] == 5
+    assert c["share_of_lang"] == 5 / 9
+    assert c["share_of_corpus"] == 0.5
+    assert got[("de", "web")]["share_of_lang"] == 1.0
+    total = sum(r["share_of_corpus"] for r in got.values())
+    assert abs(total - 1.0) < 1e-12
