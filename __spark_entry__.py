@@ -1278,6 +1278,28 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_degrees(web_edges(spark, sf_dir))
 
 
+def _degree_histogram_oracle() -> str:
+    from docling_spark.ops.linkgraph import link_degrees_oracle_sql
+
+    def hist(col: str, direction: str) -> str:
+        return f"""
+          SELECT '{direction}' AS direction,
+                 CASE WHEN {col} <= 0 THEN 0
+                      ELSE CAST(length(bin(CAST({col} AS BIGINT))) AS INT)
+                 END AS bucket,
+                 count(*) AS n_nodes,
+                 CAST(sum({col}) AS BIGINT) AS total_degree
+          FROM deg
+          GROUP BY 1, 2"""
+
+    return f"""
+        WITH deg AS ({link_degrees_oracle_sql()})
+        {hist("in_degree", "in")}
+        UNION ALL
+        {hist("out_degree", "out")}
+    """
+
+
 def _link_graph_oracle() -> str:
     from docling_spark.ops.linkgraph import link_degrees_oracle_sql
 
@@ -2559,6 +2581,54 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.dedup_assignments(docs, pairs.unionByName(chain))
 
 
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph degree distribution (ops/linkgraph.degree_histogram):
+    log2 buckets via binary-string length over the per-node degrees —
+    the power-law/skew telemetry before every graph stage."""
+    from docling_spark.ops.linkgraph import (
+        degree_histogram,
+        link_degrees,
+        web_edges,
+    )
+
+    return degree_histogram(link_degrees(web_edges(spark, sf_dir)))
+
+
+def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the LSH candidate generator EVALUATED
+    against exact n-gram Jaccard ground truth on the capped corpus:
+    one row with true-pair count, candidate count, hits, recall,
+    precision. The production path's quality as a value-checked gate
+    row, not a property-test footnote."""
+    docs = _with_dups(_docs(spark, sf_dir).filter(F.col("doc_id") < 40))
+    truth = dedup.jaccard_pairs(docs, k=8, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    cand = dedup.lsh_candidate_pairs(
+        docs, k=8, seeds=[1, 2, 3, 4], band_size=2
+    )
+    hits = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(hits))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_true")).alias(
+                "recall"
+            ),
+            (
+                F.col("n_hits").cast("double") / F.col("n_candidates")
+            ).alias("precision"),
+        )
+    )
+
+
 def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup audit (ops/cc.dedup_report): cluster-size histogram over
     the same LSH+chain component assignment as dedup_clusters —
@@ -2973,6 +3043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
         "recrawl_due": q_recrawl_due,  # publisher-hint refresh frontier
         "wet_export": q_wet_export,  # WET conversion-record sink law
+        "degree_histogram": q_degree_histogram,  # graph power-law telemetry
+        "lsh_eval": q_lsh_eval,  # candidate recall/precision vs exact truth
         "dedup_report": q_dedup_report,  # cluster-size histogram audit
         "size_histogram": q_size_histogram,  # log2 doc-size distribution
         "vocab_stats": q_vocab_stats,  # corpus Zipf/vocabulary dashboard
@@ -4645,6 +4717,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_export": _wet_export_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),
+        "degree_histogram": _degree_histogram_oracle(),
         "para_dedup": _para_dedup_oracle(),
         "snapshot_delta": _snapshot_delta_oracle(),
         "snapshot_worklist": _snapshot_worklist_oracle(),
@@ -5289,6 +5362,23 @@ def oracle_sql() -> dict[str, str]:
     }
     # composed-on-composed entries that reuse another oracle's text
     docs2_body = _DUPS_CTE[5:].split("docs2 AS ", 1)[1]
+    out["lsh_eval"] = f"""
+        WITH truth AS (
+          SELECT doc_a, doc_b FROM ({out["ngram_jaccard"]})
+        ),
+        cand AS ({out["lsh_dup_pairs"].replace(
+            "WHERE doc_id < 100 OR doc_id >= 100000",
+            "WHERE doc_id < 40 OR (doc_id >= 100000 AND doc_id < 100040)")}),
+        h AS (SELECT count(*) AS n_hits
+              FROM truth t JOIN cand c
+                ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        nt AS (SELECT count(*) AS n_true FROM truth),
+        nc AS (SELECT count(*) AS n_candidates FROM cand)
+        SELECT n_true, n_candidates, n_hits,
+               CAST(n_hits AS DOUBLE) / n_true AS recall,
+               CAST(n_hits AS DOUBLE) / n_candidates AS precision
+        FROM nt, nc, h
+    """
     out["corpus_report"] = f"""
         WITH rd AS ({out["readability"]}),
         basic AS (

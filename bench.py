@@ -38,6 +38,7 @@ HEADLINE = [
     "source_overlap",
     "dedup_clusters",
     "dedup_report",
+    "lsh_eval",
     "canonical_by_quality",
     "substr_dedup",
     "winnow_pairs",
@@ -60,6 +61,7 @@ HEADLINE = [
     "canonical_dedup",
     "url_patterns",
     "link_graph",
+    "degree_histogram",
     "hits_scores",
     "triangles",
     "link_coupling",

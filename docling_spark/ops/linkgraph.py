@@ -323,3 +323,35 @@ def link_degrees_oracle_sql(edges_cte: str = LINKED_EDGES_CTE_SQL) -> str:
         COALESCE(out_degree, 0) = 0 AS is_dangling
     FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
     """
+
+
+def degree_histogram(degrees: DataFrame) -> DataFrame:
+    """Log2-bucketed in/out-degree distribution of the link graph —
+    the power-law telemetry read before every graph stage: the top
+    in-degree buckets are the PageRank hub mass (and the skew keys a
+    join must salt); a fat out-degree tail is link-farm signature.
+
+    Bucket = length of the binary representation (0 for degree 0) —
+    integer-exact on both engines, the ops/textstats.size_histogram
+    idiom. Output per (direction, bucket): n_nodes, total_degree.
+    One map-side agg over the degrees frame; ~2×40 rows out.
+    """
+
+    def hist(col: str, direction: str) -> DataFrame:
+        n = F.col(col)
+        bucket = (
+            F.when(n <= 0, F.lit(0))
+            .otherwise(F.length(F.conv(n.cast("string"), 10, 2)))
+            .cast("int")
+        )
+        return (
+            degrees.select(bucket.alias("bucket"), n.alias("deg"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum("deg").alias("total_degree"),
+            )
+            .select(F.lit(direction).alias("direction"), "*")
+        )
+
+    return hist("in_degree", "in").unionByName(hist("out_degree", "out"))
