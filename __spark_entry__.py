@@ -1113,6 +1113,20 @@ def q_robotstxt_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.crawl_delays(robots, agent="doclingbot")
 
 
+def q_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset/BOM audit (ops/charset.py): binary BOM probes + the
+    declared meta charset from the 8 KB lenient-decoded head, BOM-wins
+    precedence mirroring htmlx/dom.decode_bytes — the mislabel/
+    transcoding-lane dashboard, computed before any Python runs. The
+    oracle derives expectations from the synthesis law, so the Spark
+    BYTE path (real BOMs, a genuinely UTF-16LE body) is value-checked
+    end-to-end."""
+    from docling_spark.ops.charset import charset_sniff, synth_charset_pages
+
+    pages = synth_charset_pages(spark, _docs(spark, sf_dir).select("doc_id"))
+    return charset_sniff(pages)
+
+
 def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET conversion-record export (ops/wet.py): the Common Crawl
     interchange format as a pure string projection — CRLF headers,
@@ -3042,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": q_sitemap_discovery,  # robots Sitemap: directives
         "sitemap_entries": q_sitemap_entries,  # discovery feed parse
         "recrawl_due": q_recrawl_due,  # publisher-hint refresh frontier
+        "charset_sniff": q_charset_sniff,  # BOM/meta charset audit
         "wet_export": q_wet_export,  # WET conversion-record sink law
         "degree_histogram": q_degree_histogram,  # graph power-law telemetry
         "lsh_eval": q_lsh_eval,  # candidate recall/precision vs exact truth
@@ -3485,6 +3500,12 @@ def _domain_buckets_oracle() -> str:
                '.test/p/' || CAST(doc_id AS VARCHAR) AS url
         FROM documents"""
     return domain_buckets_oracle_sql(urls, head_frac=0.5, mid_frac=0.75)
+
+
+def _charset_sniff_oracle() -> str:
+    from docling_spark.ops.charset import charset_sniff_oracle_sql
+
+    return charset_sniff_oracle_sql()
 
 
 def _wet_export_oracle() -> str:
@@ -4714,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_discovery": _sitemap_discovery_oracle(),
         "sitemap_entries": _sitemap_entries_oracle(),
         "recrawl_due": _recrawl_due_oracle(),
+        "charset_sniff": _charset_sniff_oracle(),
         "wet_export": _wet_export_oracle(),
         "canonical_dedup": _canonical_dedup_oracle(),
         "link_graph": _link_graph_oracle(),

@@ -95,6 +95,7 @@ HEADLINE = [
     "sitemap_entries",
     "recrawl_due",
     "wet_export",
+    "charset_sniff",
     "decontam",
     "simhash",
     "token_count",
